@@ -1,0 +1,106 @@
+"""Ciphertext: an immutable, HBM-resident packed chunk tensor.
+
+TPU-native re-design of reference `certFHE::Ciphertext`
+(src/Ciphertext.{h,cpp}).  Differences by design:
+
+  * **Immutable pytree** — the reference's mutable value semantics harbor a
+    real use-after-free (its operator= drops the context pointer,
+    src/Ciphertext.cpp:306-329; see SURVEY.md §2b.1).  Here every operator
+    returns a fresh `Ciphertext`; JAX's functional model makes that free.
+  * **uint32 words** — `uint32[chunks, W]` with W = ctx.words32, because TPU
+    vector lanes are 32-bit.  The layout is the exact hi/lo split of the
+    reference's MSB-first uint64 words (see `csgn_tpu.layout`).
+  * **No materialized bitlen** — the reference carries a per-word `bitlen`
+    array (src/Ciphertext.h:19-23), but it is always the same per-chunk
+    pattern (src/SecretKey.cpp:171-173); here it is derived from the context
+    (`ctx.bitlen`) when needed (serialization, printing).
+  * **Permutation applies per chunk** — the reference silently truncates
+    multi-chunk ciphertexts when permuting (src/Ciphertext.cpp:33-40, bug;
+    SURVEY.md §2b.2); we apply π to every chunk, which matches the reference
+    on fresh ciphertexts and is the mathematically correct extension.
+
+Operators: ``+`` concatenates chunks (len grows additively), ``*`` is the
+chunk cross-product AND (len grows multiplicatively) — semantics parity with
+reference src/Ciphertext.cpp:107-179.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csgn_tpu import layout
+from csgn_tpu.context import Context
+from csgn_tpu.ops import core as ops
+from csgn_tpu.permutation import Permutation
+
+__all__ = ["Ciphertext"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Ciphertext:
+    """Packed ciphertext words ``uint32[chunks, W]`` plus its static context."""
+
+    words: jax.Array
+    ctx: Context = dataclasses.field(metadata=dict(static=True))
+
+    def __post_init__(self):
+        w = self.words
+        if hasattr(w, "ndim") and w.ndim != 2:
+            raise ValueError(f"ciphertext words must be [chunks, W], got shape {w.shape}")
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def chunks(self) -> int:
+        return int(self.words.shape[0])
+
+    @property
+    def nbytes(self) -> int:
+        """Payload bytes (packed)."""
+        return self.ctx.chunk_count_bytes(self.chunks)
+
+    # -- homomorphic operators ---------------------------------------------
+
+    def _check_ctx(self, other: "Ciphertext") -> None:
+        if self.ctx != other.ctx:
+            raise ValueError(f"context mismatch: {self.ctx} vs {other.ctx}")
+
+    def __add__(self, other: "Ciphertext") -> "Ciphertext":
+        self._check_ctx(other)
+        return Ciphertext(ops.add_chunks(self.words, other.words), self.ctx)
+
+    def __mul__(self, other: "Ciphertext") -> "Ciphertext":
+        self._check_ctx(other)
+        return Ciphertext(ops.mul_chunks(self.words, other.words), self.ctx)
+
+    def apply_permutation(self, p: Permutation) -> "Ciphertext":
+        if p.n != self.ctx.n:
+            raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
+        perm = jnp.asarray(p.perm)
+        return Ciphertext(ops.permute_chunks(self.words, perm, self.ctx.n), self.ctx)
+
+    # -- interop ------------------------------------------------------------
+
+    def to_u64(self) -> np.ndarray:
+        """Reference-layout uint64 words, flat ``[chunks * words64]`` (host)."""
+        w32 = np.asarray(jax.device_get(self.words), dtype=np.uint32)
+        return layout.u32_to_u64(w32).reshape(-1)
+
+    @classmethod
+    def from_u64(cls, words64: np.ndarray, ctx: Context) -> "Ciphertext":
+        """Build from reference-layout uint64 words (flat or [chunks, words64])."""
+        w64 = np.asarray(words64, dtype=np.uint64).reshape(-1, ctx.words64)
+        w32 = layout.u64_to_u32(w64)
+        return cls(jnp.asarray(w32), ctx)
+
+    def bit_string(self) -> str:
+        """The reference's `operator<<` rendering (src/Ciphertext.cpp:192-199)."""
+        return layout.format_bits(np.asarray(jax.device_get(self.words)), self.ctx.n)
+
+    def __repr__(self) -> str:
+        return f"Ciphertext(chunks={self.words.shape[0]}, W={self.words.shape[1]}, ctx={self.ctx})"

@@ -1,0 +1,103 @@
+"""Scheme parameters for the CSGN bounded homomorphic encryption scheme.
+
+TPU-native re-design of the reference `certFHE::Context` (reference:
+src/Context.{h,cpp}).  The reference stores (N, D, S, defaultLen) as mutable
+members (src/Context.cpp:20-29); here the context is a frozen, hashable
+dataclass so it can be closed over by jitted functions as a static argument.
+
+Derived quantities:
+  * ``s = n // (2 * d)`` — reference src/Context.cpp:22.
+  * ``words64 = ceil(n / 64)`` — the reference's ``defaultLen``
+    (src/Context.cpp:24-28): number of uint64 words per fresh-ciphertext chunk.
+  * ``words32 = 2 * words64`` — the TPU-facing layout splits each uint64 into
+    (hi, lo) uint32 halves because TPUs have no native 64-bit vector lanes.
+    The packing rule stays uniform: plaintext-domain bit ``j`` of a chunk
+    lives in uint32 word ``j // 32`` at shift ``31 - (j % 32)``, which is
+    exactly the reference's MSB-first uint64 layout (bit j in word ``j//64``
+    at shift ``63 - (j%64)``, reference src/SecretKey.cpp:176-197) after the
+    hi/lo split.  When ``n % 64 <= 32`` the final uint32 word is always zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+__all__ = ["Context"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Context:
+    """Scheme parameters ``(n, d)`` plus derived layout constants.
+
+    n: number of bits in one fresh-ciphertext chunk (reference N, e.g. 1247).
+    d: number of secret bit positions (reference D, e.g. 16).
+    """
+
+    n: int
+    d: int
+
+    def __post_init__(self):
+        if self.n <= 0 or self.d <= 0:
+            raise ValueError(f"Context requires n > 0 and d > 0, got ({self.n}, {self.d})")
+        if self.d > self.n:
+            raise ValueError(f"Context requires d <= n, got ({self.n}, {self.d})")
+
+    # -- derived scalars ----------------------------------------------------
+
+    @property
+    def s(self) -> int:
+        """Reference 'S' parameter: n // (2*d) (src/Context.cpp:22)."""
+        return self.n // (2 * self.d)
+
+    @property
+    def words64(self) -> int:
+        """uint64 words per chunk — the reference 'defaultLen' (src/Context.cpp:24-28)."""
+        return -(-self.n // 64)
+
+    @property
+    def words32(self) -> int:
+        """uint32 words per chunk in the TPU layout (2 per uint64 word)."""
+        return 2 * self.words64
+
+    @property
+    def bitlen(self) -> tuple[int, ...]:
+        """Per-uint64-word occupied bit counts, MSB-first.
+
+        The reference materializes this per ciphertext (src/SecretKey.cpp:171-173)
+        but it is a pure function of n: ``[64]*(n//64) + [n%64 if any]``.
+        """
+        full, rem = divmod(self.n, 64)
+        return (64,) * full + ((rem,) if rem else ())
+
+    # -- derived arrays (host-side numpy; safe to close over in jit) --------
+
+    @functools.cached_property
+    def valid_mask(self) -> np.ndarray:
+        """uint32[words32] with bit positions j < n set (MSB-first layout).
+
+        Bits at positions >= n are never occupied; ANDing with this mask keeps
+        packed chunks canonical (all padding bits zero).
+        """
+        j = np.arange(self.words32 * 32)
+        bits = (j < self.n).astype(np.uint32)
+        return _pack_bits_np(bits)
+
+    def chunk_count_bytes(self, chunks: int) -> int:
+        """Bytes of packed ciphertext payload for ``chunks`` chunks."""
+        return chunks * self.words32 * 4
+
+
+def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
+    """Host-side MSB-first bit packing (numpy twin of layout.pack_bits)."""
+    n = bits.shape[-1]
+    w32 = -(-n // 32)
+    if w32 % 2:
+        w32 += 1
+    pad = w32 * 32 - n
+    b = np.pad(bits.astype(np.uint32), [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
+    b = b.reshape(*bits.shape[:-1], w32, 32)
+    shifts = np.arange(31, -1, -1, dtype=np.uint32)
+    return np.bitwise_or.reduce(b << shifts, axis=-1).astype(np.uint32)

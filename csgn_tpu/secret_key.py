@@ -1,0 +1,132 @@
+"""Secret key: keygen, encryption, decryption.
+
+TPU-native re-design of reference `certFHE::SecretKey`
+(src/SecretKey.{h,cpp}).  The key is d distinct bit positions in [0, n)
+(index form, matching reference src/SecretKey.h:22) **plus** a precomputed
+packed mask form ``uint32[W]`` — the kernel-facing representation.  With the
+mask, decryption of a chunk is ``popcount(chunk & mask) == d`` followed by a
+parity sum over chunks: no per-bit unpack (the reference materializes one byte
+per bit, src/SecretKey.cpp:87-95,113-124 — the main reason its decrypt runs at
+~1 Gbit/s; the mask form is pure word-parallel VPU work).
+
+Randomness is counter-based (threefry) and explicit: `generate` and `encrypt`
+take a `jax.random` key.  The reference's time-seeded C rand() path
+(src/SecretKey.cpp:311-312, SURVEY.md §2b.5) is emulated bit-exactly in
+`csgn_tpu.refcompat` for golden tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csgn_tpu import layout
+from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.context import Context
+from csgn_tpu.ops import core as ops
+from csgn_tpu.permutation import Permutation
+from csgn_tpu.plaintext import Plaintext
+
+__all__ = ["SecretKey"]
+
+
+@functools.partial(jax.jit, static_argnames=("n", "d"))
+def _encrypt_batch_jit(rng, bits, key_indices, mask, valid_mask, n, d):
+    return ops.encrypt_bits(rng, bits, key_indices, mask, valid_mask, n, d)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _decrypt_jit(words, mask, d):
+    return ops.decrypt_parity(words, mask, d)
+
+
+@functools.partial(jax.jit, static_argnames=("d",))
+def _decrypt_batch_jit(words, mask, d):
+    return ops.decrypt_parity(words, mask, d)
+
+
+class SecretKey:
+    """d secret bit positions + packed mask; encrypt/decrypt entry points."""
+
+    __slots__ = ("ctx", "indices", "_mask")
+
+    def __init__(self, ctx: Context, indices: np.ndarray):
+        indices = np.asarray(indices, dtype=np.int32)
+        if indices.shape != (ctx.d,):
+            raise ValueError(f"expected {ctx.d} key indices, got shape {indices.shape}")
+        if len(np.unique(indices)) != ctx.d:
+            raise ValueError("key indices must be distinct")
+        if indices.min() < 0 or indices.max() >= ctx.n:
+            raise ValueError("key indices out of range")
+        self.ctx = ctx
+        self.indices = indices
+        self.indices.setflags(write=False)
+        self._mask = layout.bit_positions_to_mask(indices, ctx.n)
+
+    # -- constructors -------------------------------------------------------
+
+    @classmethod
+    def generate(cls, ctx: Context, rng: jax.Array) -> "SecretKey":
+        """Sample a fresh key (uniform d-subset of [0, n), random order)."""
+        return cls(ctx, np.asarray(ops.keygen(rng, ctx.n, ctx.d)))
+
+    # -- properties ---------------------------------------------------------
+
+    @property
+    def mask(self) -> np.ndarray:
+        """Packed indicator of the secret positions: uint32[W], popcount d."""
+        return self._mask
+
+    # -- encryption ---------------------------------------------------------
+
+    def encrypt(self, plaintext, rng: jax.Array) -> Ciphertext:
+        """Encrypt one bit into a fresh single-chunk ciphertext."""
+        bit = int(plaintext) & 1
+        # encrypt_batch returns [batch=1, W], which is already [chunks=1, W].
+        words = self.encrypt_batch(jnp.array([bit], dtype=jnp.uint8), rng)
+        return Ciphertext(words, self.ctx)
+
+    def encrypt_batch(self, bits: jax.Array, rng: jax.Array) -> jax.Array:
+        """Encrypt bits[batch] -> fresh chunk words uint32[batch, W]."""
+        return _encrypt_batch_jit(
+            rng,
+            jnp.asarray(bits),
+            jnp.asarray(self.indices),
+            jnp.asarray(self._mask),
+            jnp.asarray(self.ctx.valid_mask),
+            self.ctx.n,
+            self.ctx.d,
+        )
+
+    # -- decryption ---------------------------------------------------------
+
+    def decrypt(self, ciphertext: Ciphertext) -> Plaintext:
+        """Decrypt any-length ciphertext: parity of per-chunk ANDs."""
+        if ciphertext.ctx != self.ctx:
+            raise ValueError("ciphertext context mismatch")
+        bit = _decrypt_jit(ciphertext.words, jnp.asarray(self._mask), self.ctx.d)
+        return Plaintext(int(bit))
+
+    def decrypt_batch(self, words: jax.Array) -> jax.Array:
+        """Decrypt uint32[batch, chunks, W] -> bits uint32[batch]."""
+        return _decrypt_batch_jit(words, jnp.asarray(self._mask), self.ctx.d)
+
+    # -- permutation --------------------------------------------------------
+
+    def apply_permutation(self, p: Permutation) -> "SecretKey":
+        """Key transform: Dec_{π(k)}(π(c)) = Dec_k(c).
+
+        The permuted key's positions are { i : π[i] ∈ s } = π⁻¹[s]; the
+        reference re-extracts them in ascending order
+        (src/SecretKey.cpp:244-250), which we match.
+        """
+        if p.n != self.ctx.n:
+            raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
+        inv = np.argsort(p.perm)
+        return SecretKey(self.ctx, np.sort(inv[self.indices]).astype(np.int32))
+
+    def __repr__(self) -> str:
+        return f"SecretKey(ctx={self.ctx}, d={self.ctx.d})"
