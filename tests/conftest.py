@@ -7,13 +7,19 @@ before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set, not setdefault: the environment ships JAX_PLATFORMS=axon (remote
+# TPU tunnel, ~27ms RTT per dispatch) and a sitecustomize that force-registers
+# the axon backend with jax_platforms="axon,cpu".  Tests must run on the local
+# CPU backend, so override both the env var and (below) the already-applied
+# config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
 import numpy as np  # noqa: E402

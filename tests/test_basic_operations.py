@@ -52,9 +52,10 @@ def test_multiply_chunk_growth_and_order(small_ctx, rng):
     b = sk.encrypt(1, keys[3]) + sk.encrypt(1, keys[4]) + sk.encrypt(0, keys[5])
     prod = a * b
     assert prod.chunks == 6
-    # Chunk (i, j) of the product is a_i & b_j at flat index i*3 + j.
-    aw, bw = np.asarray(a.words), np.asarray(b.words)
-    pw = np.asarray(prod.words)
+    # Chunk (i, j) of the product is a_i & b_j at flat index i*3 + j
+    # (columns in the word-major layout).
+    aw, bw = a.chunk_major(), b.chunk_major()
+    pw = prod.chunk_major()
     for i in range(2):
         for j in range(3):
             np.testing.assert_array_equal(pw[i * 3 + j], aw[i] & bw[j])
@@ -82,13 +83,13 @@ def test_batched_encrypt_decrypt(ctx, rng):
     sk = SecretKey.generate(ctx, k_key)
     bits = jnp.asarray(np.random.default_rng(5).integers(0, 2, 256), dtype=jnp.uint8)
     words = sk.encrypt_batch(bits, k_enc)
-    assert words.shape == (256, ctx.words32)
+    assert words.shape == (ctx.words32, 256)
     assert words.dtype == jnp.uint32
     # Decrypt as batch of single-chunk ciphertexts.
-    dec = sk.decrypt_batch(words[:, None, :])
+    dec = sk.decrypt_batch(words)
     np.testing.assert_array_equal(np.asarray(dec), np.asarray(bits))
     # Canonical form: no bits outside [0, n).
-    assert np.all(np.asarray(words) & ~ctx.valid_mask == 0)
+    assert np.all(np.asarray(words) & ~ctx.valid_mask[:, None] == 0)
 
 
 def test_encrypt_zero_invariant(ctx, rng):
@@ -97,7 +98,7 @@ def test_encrypt_zero_invariant(ctx, rng):
     k_key, k_enc = jax.random.split(rng)
     sk = SecretKey.generate(ctx, k_key)
     bits = jnp.asarray([0] * 64 + [1] * 64, dtype=jnp.uint8)
-    words = np.asarray(sk.encrypt_batch(bits, k_enc))
+    words = np.asarray(sk.encrypt_batch(bits, k_enc)).T   # [batch, W]
     mask = sk.mask
     popc = np.array([sum(int(x).bit_count() for x in (w & mask)) for w in words])
     assert np.all(popc[:64] < ctx.d)      # bit 0: not all secret positions set

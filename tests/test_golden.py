@@ -52,7 +52,7 @@ def test_ref_encrypt_bit_exact(sc):
         g = GlibcRand(sc[seed_name])
         ours = refcompat.ref_encrypt_words(g, bit, key, ctx)
         golden = Ciphertext.from_u64(_words64(sc[ct_name]), ctx)
-        np.testing.assert_array_equal(ours[None], np.asarray(golden.words), err_msg=ct_name)
+        np.testing.assert_array_equal(ours[None], golden.chunk_major(), err_msg=ct_name)
 
 
 def test_add_mul_bit_exact(sc):

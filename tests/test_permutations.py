@@ -82,7 +82,7 @@ def test_composed_permutation_equals_sequential(small_ctx, rng):
     # out1[i] = (c after p)[q[i]] = c[p[q[i]]] = (p+q) applied once.
     seq = c.apply_permutation(p).apply_permutation(q)
     once = c.apply_permutation(p + q)
-    np.testing.assert_array_equal(np.asarray(seq.words), np.asarray(once.words))
+    np.testing.assert_array_equal(np.asarray(seq.wt), np.asarray(once.wt))
 
 
 def test_length_mismatch_raises(ctx, small_ctx, rng):
