@@ -1,0 +1,134 @@
+"""Headline benchmark: homomorphic multiply + decrypt throughput per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload (BASELINE.md / BASELINE.json configs): Context(1247, 16),
+cross-product multiply (materialized output) and full-ciphertext decrypt.
+The reference C++ baseline, measured in this environment (BASELINE.md):
+  * multiply: 128x128 chunks -> 16384 out-chunks in 5.5 ms   (0.3357 us/chunk)
+  * decrypt:  16384 chunks in 23.3 ms                        (1.4221 us/chunk)
+Ours is measured at saturation size (the remote-TPU tunnel has ~27 ms RTT, so
+per-op timing subtracts a measured RTT baseline and uses GB-scale workloads;
+methodology details in docs/performance.md).
+
+All diagnostics go to stderr; stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_MUL_US_PER_CHUNK = 5.5e3 / 16384    # BASELINE.md: 128x128-chunk multiply
+REF_DEC_US_PER_CHUNK = 23.3e3 / 16384   # BASELINE.md: 16384-chunk decrypt
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def median_scalar_time(fetch, reps=7):
+    """Median wall time of fetch() (a host-synchronizing scalar fetch)."""
+    fetch()  # warm (compile)
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch()
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[reps // 2]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from csgn_tpu.context import Context
+    from csgn_tpu.ops import core, kernels
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    log(f"backend={backend} devices={jax.devices()}")
+
+    ctx = Context(1247, 16)
+    w = ctx.words32
+    rng = np.random.default_rng(0)
+
+    # RTT baseline: cost of a dispatch + 4-byte fetch with trivial compute.
+    z = jnp.zeros((8,), jnp.uint32)
+    triv = jax.jit(lambda z: z.sum())
+    rtt = median_scalar_time(lambda: np.asarray(triv(z)))
+    log(f"rtt={rtt*1e3:.2f} ms")
+
+    # Sizes: saturation scale on TPU, small on CPU fallback.
+    if on_tpu:
+        t1 = t2 = 4096          # 16.7M out-chunks, 2.68 GB output
+        dec_chunks = 1 << 24    # 2.68 GB input
+    else:
+        t1 = t2 = 256
+        dec_chunks = 1 << 16
+
+    a = jnp.asarray(rng.integers(0, 2**32, (w, t1), dtype=np.uint32) & ctx.valid_mask[:, None])
+    b = jnp.asarray(rng.integers(0, 2**32, (w, t2), dtype=np.uint32) & ctx.valid_mask[:, None])
+    mask_np = np.zeros(w, np.uint32)
+    for pos in (np.arange(ctx.d) * 71 + 5) % ctx.n:
+        mask_np[pos // 32] |= np.uint32(1) << (31 - pos % 32)
+    mask = jnp.asarray(mask_np)
+
+    # --- multiply (Pallas cross-product kernel; output materialized in HBM).
+    mul_fn = kernels.mul_chunks_pallas if on_tpu else jax.jit(core.mul_chunks)
+    out_hold = [None]
+
+    def mul_fetch():
+        o = mul_fn(a, b)
+        out_hold[0] = o
+        return np.asarray(o[0, 0])
+
+    t_mul = max(median_scalar_time(mul_fetch) - rtt, 1e-9)
+    out_chunks = t1 * t2
+    mul_gbps = out_chunks * w * 4 / t_mul / 1e9
+    mul_us_per_chunk = t_mul * 1e6 / out_chunks
+    log(f"mul {t1}x{t2}: {t_mul*1e3:.2f} ms  {mul_gbps:.0f} GB/s out  {mul_us_per_chunk*1e3:.4f} ns/chunk")
+
+    # --- decrypt (XLA eq-all + parity; input streamed from HBM).
+    big = jnp.asarray(rng.integers(0, 2**32, (w, dec_chunks), dtype=np.uint32))
+    dec_jit = jax.jit(core.decrypt_parity)
+
+    def dec_fetch():
+        return np.asarray(dec_jit(big, mask))
+
+    t_dec = max(median_scalar_time(dec_fetch) - rtt, 1e-9)
+    dec_gbps = dec_chunks * w * 4 / t_dec / 1e9
+    dec_us_per_chunk = t_dec * 1e6 / dec_chunks
+    log(f"dec {dec_chunks}: {t_dec*1e3:.2f} ms  {dec_gbps:.0f} GB/s in  {dec_us_per_chunk*1e3:.4f} ns/chunk")
+
+    # --- correctness spot check vs oracle on a small slice.
+    small = big[:, :1024]
+    assert int(dec_jit(small, mask)) == int(core.decrypt_parity(small, mask))
+    got = np.asarray(out_hold[0][:, : 4 * t2]) if on_tpu else np.asarray(out_hold[0][:, : 4 * t2])
+    want = np.asarray(core.mul_chunks(a[:, :4], b))
+    assert np.array_equal(got, want), "mul kernel mismatch vs oracle"
+
+    # --- headline: combined mul+dec throughput per chunk vs reference C++.
+    ours_us_per_chunk = mul_us_per_chunk + dec_us_per_chunk
+    ref_us_per_chunk = REF_MUL_US_PER_CHUNK + REF_DEC_US_PER_CHUNK
+    speedup = ref_us_per_chunk / ours_us_per_chunk
+    value = 1.0 / ours_us_per_chunk  # chunk mul+dec ops per microsecond -> Mops/s
+
+    print(
+        json.dumps(
+            {
+                "metric": "homomorphic mul+dec chunk throughput per chip, Context(1247,16)",
+                "value": round(value, 3),
+                "unit": "M chunk-ops/s",
+                "vs_baseline": round(speedup, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Multi-device SPMD layer: mesh construction + collective homomorphic ops.
+
+The reference is single-threaded, single-process (SURVEY.md §2c); this package
+is the from-scratch TPU-native scaling story: ciphertext chunk axes and
+encryption batch axes shard over a `jax.sharding.Mesh`, with XLA collectives
+(all_gather / ppermute / psum) compiled over ICI.
+"""
+
+from csgn_tpu.parallel.mesh import chunk_mesh, make_mesh
+from csgn_tpu.parallel.ops import (
+    sharded_decrypt_parity,
+    sharded_encrypt_bits,
+    sharded_mul_allgather,
+    sharded_mul_ring,
+)
+
+__all__ = [
+    "make_mesh",
+    "chunk_mesh",
+    "sharded_mul_allgather",
+    "sharded_mul_ring",
+    "sharded_decrypt_parity",
+    "sharded_encrypt_bits",
+]
