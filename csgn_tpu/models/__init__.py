@@ -1,0 +1,11 @@
+"""Homomorphic circuit layer — the framework's "model" family.
+
+The scheme exposes two gates natively (add = XOR, mul = AND over F2); this
+package builds the standard boolean-circuit vocabulary on top (NOT/OR/MUX,
+adders, comparators) with chunk-growth accounting, the way a model zoo sits
+on top of an NN framework's ops.
+"""
+
+from csgn_tpu.models.circuits import Gates
+
+__all__ = ["Gates"]

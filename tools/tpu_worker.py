@@ -1,0 +1,51 @@
+"""Persistent TPU worker: executes queued python jobs in one process.
+
+The axon tunnel admits one TPU client at a time and device-grant release is
+slow, so spawning a fresh python per experiment serializes on multi-minute
+claim handoffs.  This worker claims the device once and then executes job
+files submitted to .tpuq/:
+
+  submit:  write  .tpuq/<name>.py
+  result:  worker writes .tpuq/<name>.out (stdout+stderr+traceback),
+           then renames the job to .tpuq/<name>.done
+
+Jobs run via exec() in a fresh namespace but share the process (and the jax
+compile cache).  Poll for the .out file to collect results.
+"""
+
+import io
+import contextlib
+import pathlib
+import time
+import traceback
+
+Q = pathlib.Path(__file__).resolve().parent.parent / ".tpuq"
+Q.mkdir(exist_ok=True)
+
+print("initializing jax/TPU...", flush=True)
+import jax  # noqa: E402
+
+print("devices:", jax.devices(), flush=True)
+(Q / "READY").write_text(str(time.time()))
+
+while True:
+    jobs = sorted(p for p in Q.glob("*.py") if not p.with_suffix(".done").exists())
+    if not jobs:
+        time.sleep(0.5)
+        continue
+    job = jobs[0]
+    print("running", job.name, flush=True)
+    buf = io.StringIO()
+    t0 = time.time()
+    status = "ok"
+    try:
+        code = job.read_text()
+        with contextlib.redirect_stdout(buf), contextlib.redirect_stderr(buf):
+            exec(compile(code, str(job), "exec"), {"__name__": "__tpu_job__"})
+    except BaseException:
+        status = "error"
+        buf.write("\n" + traceback.format_exc())
+    out = job.with_suffix(".out")
+    out.write_text(f"# status={status} wall={time.time()-t0:.2f}s\n" + buf.getvalue())
+    job.rename(job.with_suffix(".done"))
+    print("finished", job.name, status, flush=True)
