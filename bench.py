@@ -79,23 +79,32 @@ def main():
     mask = jnp.asarray(mask_np)
 
     # --- multiply (Pallas cross-product kernel; output materialized in HBM).
-    mul_fn = kernels.mul_chunks_pallas if on_tpu else jax.jit(core.mul_chunks)
-    out_hold = [None]
+    use_pallas = on_tpu and kernels.mul_pallas_supported(t1, t2, w)
+    mul_fn = kernels.mul_chunks_pallas if use_pallas else jax.jit(core.mul_chunks)
+
+    # Correctness spot check vs oracle first (small slice), then drop refs so
+    # the timing loop holds at most one live 2.7 GB output.
+    got = np.asarray(mul_fn(a[:, :4], b[:, :128]))
+    want = np.asarray(core.mul_chunks(a[:, :4], b[:, :128]))
+    assert np.array_equal(got, want), "mul kernel mismatch vs oracle"
+    del got, want
 
     def mul_fetch():
         o = mul_fn(a, b)
-        out_hold[0] = o
-        return np.asarray(o[0, 0])
+        return np.asarray(o[0, 0])  # o dies after the fetch
 
     t_mul = max(median_scalar_time(mul_fetch) - rtt, 1e-9)
     out_chunks = t1 * t2
     mul_gbps = out_chunks * w * 4 / t_mul / 1e9
     mul_us_per_chunk = t_mul * 1e6 / out_chunks
-    log(f"mul {t1}x{t2}: {t_mul*1e3:.2f} ms  {mul_gbps:.0f} GB/s out  {mul_us_per_chunk*1e3:.4f} ns/chunk")
+    log(f"mul {t1}x{t2}: {t_mul*1e3:.2f} ms  {mul_gbps:.0f} GB/s out  {mul_us_per_chunk*1e3:.4f} ns/chunk  pallas={use_pallas}")
+    del a, b
 
     # --- decrypt (XLA eq-all + parity; input streamed from HBM).
     big = jnp.asarray(rng.integers(0, 2**32, (w, dec_chunks), dtype=np.uint32))
     dec_jit = jax.jit(core.decrypt_parity)
+    small = big[:, :1024]
+    assert int(dec_jit(small, mask)) == int(core.decrypt_parity(small, mask))
 
     def dec_fetch():
         return np.asarray(dec_jit(big, mask))
@@ -104,13 +113,6 @@ def main():
     dec_gbps = dec_chunks * w * 4 / t_dec / 1e9
     dec_us_per_chunk = t_dec * 1e6 / dec_chunks
     log(f"dec {dec_chunks}: {t_dec*1e3:.2f} ms  {dec_gbps:.0f} GB/s in  {dec_us_per_chunk*1e3:.4f} ns/chunk")
-
-    # --- correctness spot check vs oracle on a small slice.
-    small = big[:, :1024]
-    assert int(dec_jit(small, mask)) == int(core.decrypt_parity(small, mask))
-    got = np.asarray(out_hold[0][:, : 4 * t2]) if on_tpu else np.asarray(out_hold[0][:, : 4 * t2])
-    want = np.asarray(core.mul_chunks(a[:, :4], b))
-    assert np.array_equal(got, want), "mul kernel mismatch vs oracle"
 
     # --- headline: combined mul+dec throughput per chunk vs reference C++.
     ours_us_per_chunk = mul_us_per_chunk + dec_us_per_chunk

@@ -1,0 +1,147 @@
+"""Command-line entry point: `python -m csgn_tpu.cli <command>`.
+
+Commands:
+  demo      — the reference's basic_operations + permutations scenarios,
+              asserted (reference tests/basic_operations.cpp, permutations.cpp)
+  selftest  — quick end-to-end correctness sweep (host backend)
+  timings   — microbenchmark table mirroring reference tests/timings.cpp
+  info      — context / device / layout report
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from csgn_tpu.config import RunConfig
+
+
+def _load_config(args) -> RunConfig:
+    if args.config:
+        with open(args.config) as f:
+            return RunConfig.from_json(f.read())
+    return RunConfig(n=args.n, d=args.d, seed=args.seed)
+
+
+def cmd_demo(cfg: RunConfig) -> int:
+    import jax
+
+    from csgn_tpu import Permutation, Plaintext, SecretKey
+
+    ctx = cfg.context()
+    keys = jax.random.split(jax.random.key(cfg.seed), 4)
+    print(f"Context: n={ctx.n} d={ctx.d} s={ctx.s} words/chunk={ctx.words64}")
+
+    sk = SecretKey.generate(ctx, keys[0])
+    c1 = sk.encrypt(Plaintext(1), keys[1])
+    c0 = sk.encrypt(Plaintext(0), keys[2])
+    added, multiplied = c1 + c0, c1 * c0
+    da, dm = sk.decrypt(added), sk.decrypt(multiplied)
+    print(f"Dec ( Enc (1) + Enc (0) ) = {da}")
+    print(f"Dec ( Enc (1) * Enc (0) ) = {dm}")
+    assert int(da) == 1 and int(dm) == 0
+
+    perm = Permutation.random(ctx, keys[3])
+    psk = sk.apply_permutation(perm)
+    pct = c1.apply_permutation(perm)
+    dp = psk.decrypt(pct)
+    print(f"Dec_perm ( Perm ( Enc (1) ) ) = {dp}")
+    assert int(dp) == 1
+    assert (perm + perm.inverse()).is_identity()
+    print("demo OK")
+    return 0
+
+
+def cmd_selftest(cfg: RunConfig) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from csgn_tpu import SecretKey
+
+    ctx = cfg.context()
+    keys = jax.random.split(jax.random.key(cfg.seed), 3)
+    sk = SecretKey.generate(ctx, keys[0])
+    bits = jnp.asarray(np.random.default_rng(cfg.seed).integers(0, 2, cfg.batch), dtype=jnp.uint8)
+    words = sk.encrypt_batch(bits, keys[1])
+    dec = sk.decrypt_batch(words)
+    ok = bool(np.array_equal(np.asarray(dec), np.asarray(bits)))
+    print(f"batched encrypt/decrypt roundtrip x{cfg.batch}: {'OK' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+def cmd_timings(cfg: RunConfig) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from csgn_tpu import Permutation, SecretKey
+    from csgn_tpu.utils.timing import Timer, device_median_time, measure_rtt
+
+    ctx = cfg.context()
+    keys = jax.random.split(jax.random.key(cfg.seed), 4)
+    rtt = measure_rtt()
+    print(f"[dispatch round-trip baseline: {rtt*1e3:.2f} ms — subtracted below]")
+
+    t = Timer("keygen")
+    t.start()
+    sk = SecretKey.generate(ctx, keys[0])
+    t.stop_and_print()
+
+    mask = jnp.asarray(sk.mask)
+    bits = jnp.asarray(np.random.default_rng(0).integers(0, 2, cfg.batch), dtype=jnp.uint8)
+    te = device_median_time(
+        lambda: np.asarray(sk.encrypt_batch(bits, keys[1])[0, 0]), rtt=rtt
+    )
+    print(f"encrypt x{cfg.batch}: {te*1e3:.3f} ms ({cfg.batch/te:,.0f} enc/s)")
+
+    words = sk.encrypt_batch(bits, keys[1])
+    from csgn_tpu.ops import core
+
+    dec_jit = jax.jit(core.decrypt_parity)
+    td = device_median_time(lambda: np.asarray(dec_jit(words, mask)), rtt=rtt)
+    print(f"decrypt {cfg.batch} chunks: {td*1e3:.3f} ms")
+
+    mul_jit = jax.jit(core.mul_chunks)
+    tm = device_median_time(lambda: np.asarray(mul_jit(words, words)[0, 0]), rtt=rtt)
+    print(f"multiply {cfg.batch}x{cfg.batch} chunks: {tm*1e3:.3f} ms")
+
+    tp = Timer("permutation generation")
+    tp.start()
+    perm = Permutation.random(ctx, keys[2])
+    tp.stop_and_print()
+
+    tk = Timer("permute secret key")
+    tk.start()
+    sk.apply_permutation(perm)
+    tk.stop_and_print()
+    return 0
+
+
+def cmd_info(cfg: RunConfig) -> int:
+    import jax
+
+    ctx = cfg.context()
+    print(f"csgn_tpu context: n={ctx.n} d={ctx.d} s={ctx.s}")
+    print(f"layout: words64={ctx.words64} words32={ctx.words32} bitlen={ctx.bitlen[:3]}...{ctx.bitlen[-1]}")
+    print(f"backend: {jax.default_backend()}")
+    print(f"devices: {jax.devices()}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="csgn_tpu", description=__doc__)
+    p.add_argument("command", choices=["demo", "selftest", "timings", "info"])
+    p.add_argument("--n", type=int, default=1247)
+    p.add_argument("--d", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--config", type=str, default=None, help="JSON RunConfig path")
+    args = p.parse_args(argv)
+    cfg = _load_config(args)
+    return {"demo": cmd_demo, "selftest": cmd_selftest, "timings": cmd_timings, "info": cmd_info}[
+        args.command
+    ](cfg)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

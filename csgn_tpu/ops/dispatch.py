@@ -31,6 +31,7 @@ def mul_chunks(a: jax.Array, b: jax.Array) -> jax.Array:
         jax.default_backend() == "tpu"
         and a.ndim == 2
         and t_out >= kernels.MUL_PALLAS_MIN_OUT
+        and kernels.mul_pallas_supported(a.shape[-1], b.shape[-1], a.shape[0])
     ):
         return kernels.mul_chunks_pallas(a, b)
     return _jit_core_mul()(a, b)

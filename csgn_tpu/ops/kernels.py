@@ -44,47 +44,65 @@ def _round_up(x: int, m: int) -> int:
 # Multiply: chunk cross-product AND
 # ---------------------------------------------------------------------------
 
-
-def _mul_kernel(a_ref, b_ref, o_ref):
-    # a: (W, BI, 1), b: (W, 1, BJ) -> o: (W, BI, BJ); pure VPU broadcast AND.
-    o_ref[:] = a_ref[:] & b_ref[:]
+# VMEM budget for the output block (double-buffered by the pipeline).
+_MUL_VMEM_OUT_BUDGET = 5 << 20
 
 
-@functools.partial(jax.jit, static_argnames=("block_i", "block_j"))
-def mul_chunks_pallas(
-    a: jax.Array, b: jax.Array, *, block_i: int = 32, block_j: int = 512
-) -> jax.Array:
+def mul_pallas_supported(t1: int, t2: int, w: int) -> bool:
+    """The flat kernel needs b VMEM-resident and a 128-aligned output block."""
+    return t2 % 128 == 0 and t2 * w * 4 <= (8 << 20)
+
+
+def _pick_bi(t2: int, w: int) -> int:
+    # Output block is (W, BI*t2); keep it within budget, at most 4 (measured
+    # fastest), and BI*t2 is automatically 128-aligned since t2 % 128 == 0.
+    return max(1, min(4, _MUL_VMEM_OUT_BUDGET // (t2 * w * 4)))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mul_chunks_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
     """Cross-product AND: [W,t1] x [W,t2] -> [W, t1*t2], out index i*t2+j.
 
-    The output is viewed 3-D as [W, t1, t2]; each grid step (i, j) writes one
-    (W, BI, BJ) tile from a VMEM-resident a-column-block and b-column-block.
-    Row-major flattening of (t1, t2) reproduces the reference's i*t2+j chunk
-    ordering (reference src/Ciphertext.cpp:159).
+    Writes the canonical flat word-major layout **directly**: each grid step
+    holds BI a-columns (via a host-side [G, W, BI] regrouping of a — 640 KB
+    relayout, amortized) plus all of b in VMEM, and stores BI contiguous
+    (W, t2) output tiles.  An earlier 3-D formulation ([W, t1, t2] blocks) hit
+    728 GB/s in-kernel but the [W,t1,t2]->[W,t1*t2] reshape forced a full
+    relayout copy (net 227 GB/s); this design measures ~640 GB/s end to end
+    vs 229 GB/s for XLA's broadcast fusion (docs/performance.md).
+
+    Output chunk ordering i*t2+j matches reference src/Ciphertext.cpp:159.
+    Requires `mul_pallas_supported(t1, t2, w)`; `ops.dispatch` guards this.
     """
     w, t1 = a.shape
     _, t2 = b.shape
-    bi = min(block_i, _round_up(t1, 8))
-    bj = min(block_j, _round_up(t2, 128))
-
-    t1p, t2p = _round_up(t1, bi), _round_up(t2, bj)
+    bi = _pick_bi(t2, w)
+    t1p = _round_up(t1, bi)
     ap = jnp.pad(a, ((0, 0), (0, t1p - t1))) if t1p != t1 else a
-    bp = jnp.pad(b, ((0, 0), (0, t2p - t2))) if t2p != t2 else b
+    # Regroup a so the kernel can take BI columns with static slices only
+    # (Mosaic has no dynamic lane slicing): [W, t1p] -> [t1p/BI, W, BI].
+    ag = ap.reshape(w, t1p // bi, bi).transpose(1, 0, 2)
+
+    def kern(a_ref, b_ref, o_ref):
+        av = a_ref[0]                        # (W, BI)
+        bv = b_ref[:]                        # (W, t2)
+        for ii in range(bi):
+            o_ref[:, ii * t2 : (ii + 1) * t2] = av[:, ii : ii + 1] & bv
 
     out = pl.pallas_call(
-        _mul_kernel,
-        out_shape=jax.ShapeDtypeStruct((w, t1p, t2p), jnp.uint32),
-        grid=(t1p // bi, t2p // bj),
+        kern,
+        out_shape=jax.ShapeDtypeStruct((w, t1p * t2), jnp.uint32),
+        grid=(t1p // bi,),
         in_specs=[
-            pl.BlockSpec((w, bi, 1), lambda i, j: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, 1, bj), lambda i, j: (0, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w, bi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, t2), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((w, bi, bj), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((w, bi * t2), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(ap.reshape(w, t1p, 1), bp.reshape(w, 1, t2p))
+    )(ag, b)
 
-    if (t1p, t2p) != (t1, t2):
-        out = out[:, :t1, :t2]
-    return out.reshape(w, t1 * t2)
+    # Padded a-columns land at the tail (i >= t1) of the i-major layout.
+    return out[:, : t1 * t2] if t1p != t1 else out
 
 
 # ---------------------------------------------------------------------------
