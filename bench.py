@@ -78,22 +78,31 @@ def main():
         mask_np[pos // 32] |= np.uint32(1) << (31 - pos % 32)
     mask = jnp.asarray(mask_np)
 
+    # Amplification factor: K ops per dispatch so tunnel RTT jitter (± ~2 ms)
+    # is small relative to the measured interval.  Pallas custom calls are
+    # opaque to XLA (no folding/elision while their outputs are consumed), and
+    # the decrypt scan chains each pass's mask on the previous parity so the
+    # K passes cannot be batched into one.
+    K = 8
+
     # --- multiply (Pallas cross-product kernel; output materialized in HBM).
     use_pallas = on_tpu and kernels.mul_pallas_supported(t1, t2, w)
-    mul_fn = kernels.mul_chunks_pallas if use_pallas else jax.jit(core.mul_chunks)
+    mul_fn = kernels.mul_chunks_pallas if use_pallas else core.mul_chunks
 
-    # Correctness spot check vs oracle first (small slice), then drop refs so
-    # the timing loop holds at most one live 2.7 GB output.
     got = np.asarray(mul_fn(a[:, :4], b[:, :128]))
     want = np.asarray(core.mul_chunks(a[:, :4], b[:, :128]))
     assert np.array_equal(got, want), "mul kernel mismatch vs oracle"
     del got, want
 
-    def mul_fetch():
-        o = mul_fn(a, b)
-        return np.asarray(o[0, 0])  # o dies after the fetch
+    @jax.jit
+    def mulK(a, b):
+        outs = []
+        for k in range(K):
+            o = mul_fn(a ^ jnp.uint32(k), b)
+            outs.append(o[0, 0])
+        return jnp.stack(outs)
 
-    t_mul = max(median_scalar_time(mul_fetch) - rtt, 1e-9)
+    t_mul = max((median_scalar_time(lambda: np.asarray(mulK(a, b))) - rtt) / K, 1e-9)
     out_chunks = t1 * t2
     mul_gbps = out_chunks * w * 4 / t_mul / 1e9
     mul_us_per_chunk = t_mul * 1e6 / out_chunks
@@ -106,10 +115,15 @@ def main():
     small = big[:, :1024]
     assert int(dec_jit(small, mask)) == int(core.decrypt_parity(small, mask))
 
-    def dec_fetch():
-        return np.asarray(dec_jit(big, mask))
+    @jax.jit
+    def decK(big, mask):
+        def step(carry, _):
+            p = core.decrypt_parity(big, mask ^ carry)
+            return p, p
+        _, ps = jax.lax.scan(step, jnp.uint32(0), None, length=K)
+        return ps
 
-    t_dec = max(median_scalar_time(dec_fetch) - rtt, 1e-9)
+    t_dec = max((median_scalar_time(lambda: np.asarray(decK(big, mask))) - rtt) / K, 1e-9)
     dec_gbps = dec_chunks * w * 4 / t_dec / 1e9
     dec_us_per_chunk = t_dec * 1e6 / dec_chunks
     log(f"dec {dec_chunks}: {t_dec*1e3:.2f} ms  {dec_gbps:.0f} GB/s in  {dec_us_per_chunk*1e3:.4f} ns/chunk")
