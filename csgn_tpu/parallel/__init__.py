@@ -7,6 +7,12 @@ encryption batch axes shard over a `jax.sharding.Mesh`, with XLA collectives
 """
 
 from csgn_tpu.parallel.mesh import chunk_mesh, make_mesh
+from csgn_tpu.parallel.multihost import (
+    global_chunk_mesh,
+    initialize,
+    pad_chunks_to,
+    shard_ciphertext,
+)
 from csgn_tpu.parallel.ops import (
     sharded_decrypt_parity,
     sharded_encrypt_bits,
@@ -17,6 +23,10 @@ from csgn_tpu.parallel.ops import (
 __all__ = [
     "make_mesh",
     "chunk_mesh",
+    "global_chunk_mesh",
+    "initialize",
+    "pad_chunks_to",
+    "shard_ciphertext",
     "sharded_mul_allgather",
     "sharded_mul_ring",
     "sharded_decrypt_parity",

@@ -111,6 +111,18 @@ class SecretKey:
         -> bits uint32[batch].  (Parity of one chunk == its match bit.)"""
         return _chunk_matches_jit(words, jnp.asarray(self._mask))
 
+    def recrypt(self, ciphertext: Ciphertext, rng: jax.Array) -> Ciphertext:
+        """Key-side re-encryption: decrypt and produce a fresh 1-chunk
+        ciphertext of the same bit.
+
+        The scheme is *bounded* homomorphic — chunk counts grow additively
+        under + and multiplicatively under * — and there is no public
+        compaction (a chunk's decrypt bit is keyed, so chunks cannot be
+        folded without the key).  `recrypt` is the key-holder's growth
+        reset for deep circuits.
+        """
+        return self.encrypt(int(self.decrypt(ciphertext)), rng)
+
     # -- permutation --------------------------------------------------------
 
     def apply_permutation(self, p: Permutation) -> "SecretKey":
