@@ -44,13 +44,23 @@ def _import_ct(sc, name, ctx):
 
 
 def test_ref_encrypt_bit_exact(sc):
-    """GlibcRand + call-sequence replay == reference encrypt output."""
+    """rand()-emulation + call-sequence replay == reference encrypt output.
+
+    Large scenarios replay through the native C++ codec (bit-identical to the
+    pure-Python `refcompat` path — proven by tests/test_native.py); the small
+    scenario keeps the pure-Python path exercised end to end.
+    """
+    from csgn_tpu.native import binding
+
     ctx = Context(sc["n"], sc["d"])
     key = np.array(sc["key"], dtype=np.int32)
+    use_python = ctx.n <= 128
 
     for seed_name, ct_name, bit in [("seed1", "c1", 1), ("seed0", "c0", 0)]:
-        g = GlibcRand(sc[seed_name])
-        ours = refcompat.ref_encrypt_words(g, bit, key, ctx)
+        if use_python:
+            ours = refcompat.ref_encrypt_words(GlibcRand(sc[seed_name]), bit, key, ctx)
+        else:
+            ours = binding.NativeRand(sc[seed_name]).ref_encrypt(bit, key, ctx.n)
         golden = Ciphertext.from_u64(_words64(sc[ct_name]), ctx)
         np.testing.assert_array_equal(ours[None], golden.chunk_major(), err_msg=ct_name)
 
@@ -87,8 +97,12 @@ def test_permutation_bit_exact(sc):
     n = ctx.n
 
     # Generation: rand() consumption replay == reference permutation.
-    g = GlibcRand(sc["perm_seed"])
-    perm = refcompat.ref_permutation(g, n)
+    if n <= 128:
+        perm = refcompat.ref_permutation(GlibcRand(sc["perm_seed"]), n)
+    else:
+        from csgn_tpu.native import binding
+
+        perm = binding.NativeRand(sc["perm_seed"]).ref_permutation(n)
     np.testing.assert_array_equal(perm, np.array(sc["perm"], dtype=np.int32))
 
     p = Permutation(perm)
