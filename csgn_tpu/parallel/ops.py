@@ -36,6 +36,7 @@ from csgn_tpu.parallel.mesh import CHUNK_AXIS
 
 __all__ = [
     "sharded_mul_allgather",
+    "sharded_mul_broadcast",
     "sharded_mul_ring",
     "sharded_decrypt_parity",
     "sharded_encrypt_bits",
@@ -65,6 +66,26 @@ def sharded_mul_allgather(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CH
         local_fn,
         mesh=mesh,
         in_specs=(P(None, axis), P(None, axis)),
+        out_specs=P(None, axis),
+    )(a, b)
+
+
+def sharded_mul_broadcast(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CHUNK_AXIS) -> jax.Array:
+    """Chunk-sharded multiply with a **replicated** second operand.
+
+    For small b (e.g. fresh 1-2 chunk operands in a deep chain) sharding b
+    buys nothing; keep it replicated and skip the collective entirely.
+    a: uint32[W, t1] sharded P(None, axis); b: uint32[W, t2] replicated.
+    Output [W, t1*t2] sharded P(None, axis), i-major.
+    """
+    nd = _n_axis(mesh, axis)
+    if a.shape[-1] % nd:
+        raise ValueError(f"chunk count {a.shape[-1]} not divisible by mesh axis {nd}")
+
+    return jax.shard_map(
+        core.mul_chunks,
+        mesh=mesh,
+        in_specs=(P(None, axis), P(None, None)),
         out_specs=P(None, axis),
     )(a, b)
 

@@ -1,0 +1,83 @@
+"""Deep-circuit pipelines: fused multiplication chains with growth budgeting.
+
+Chunk counts square under homomorphic multiply (the scheme is *bounded*), so
+deep chains are a memory/scheduling problem, not just a kernel problem
+(SURVEY.md §5 "long-context").  This module provides:
+
+  * `mul_chain` — left-fold product of many ciphertexts inside ONE jit
+    dispatch (the per-op dispatch cost through a remote tunnel is ~27 ms;
+    a fused chain pays it once).
+  * `chain_chunks` — closed-form growth accounting, for budgeting before
+    running (and deciding where the key holder should `SecretKey.recrypt`).
+  * `mul_chain_sharded` — the same fold with the accumulator's chunk axis
+    sharded over a mesh; the output of each step is born i-major-sharded, so
+    the fold never reshards.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.ops import core
+from csgn_tpu.parallel.mesh import CHUNK_AXIS
+from csgn_tpu.parallel.ops import sharded_mul_allgather, sharded_mul_broadcast
+
+__all__ = ["chain_chunks", "mul_chain", "mul_chain_sharded"]
+
+
+def chain_chunks(chunk_counts: list[int]) -> int:
+    """Chunks of fold(*, counts): product of all counts."""
+    out = 1
+    for c in chunk_counts:
+        out *= c
+    return out
+
+
+def mul_chain(cts: list[Ciphertext]) -> Ciphertext:
+    """Left-fold homomorphic product in one jitted dispatch.
+
+    Chunk ordering matches the reference's sequential `operator*` exactly
+    (i-major at each step), so the result is bit-identical to folding with
+    `*` one op at a time.
+    """
+    if not cts:
+        raise ValueError("empty chain")
+    ctx = cts[0].ctx
+    for ct in cts[1:]:
+        if ct.ctx != ctx:
+            raise ValueError("context mismatch in chain")
+
+    @jax.jit
+    def fold(*wts):
+        acc = wts[0]
+        for wt in wts[1:]:
+            acc = core.mul_chunks(acc, wt)
+        return acc
+
+    return Ciphertext(fold(*[ct.wt for ct in cts]), ctx)
+
+
+def mul_chain_sharded(cts: list[Ciphertext], mesh: Mesh, axis: str = CHUNK_AXIS) -> Ciphertext:
+    """`mul_chain` with the accumulator chunk-sharded over the mesh.
+
+    The first operand's chunk axis must divide the mesh.  Later operands are
+    typically small relative to the accumulator: ones that don't divide the
+    mesh stay replicated (`sharded_mul_broadcast`, no collective); divisible
+    ones are all-gathered from their shards.  The i-major output ordering
+    keeps the accumulator contiguously sharded after every step — no
+    resharding despite the multiplicative growth.
+    """
+    if not cts:
+        raise ValueError("empty chain")
+    ctx = cts[0].ctx
+    nd = mesh.shape[axis]
+    acc = cts[0].wt
+    for ct in cts[1:]:
+        if ct.chunks % nd == 0:
+            acc = sharded_mul_allgather(acc, ct.wt, mesh, axis)
+        else:
+            acc = sharded_mul_broadcast(acc, ct.wt, mesh, axis)
+    return Ciphertext(acc, ctx)
