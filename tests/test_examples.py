@@ -1,0 +1,24 @@
+"""Examples must run and self-assert (small parameters)."""
+
+import sys
+import pathlib
+
+sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "examples"))
+
+
+def test_voting_example():
+    import voting
+
+    out = voting.main(voters=16, n=95, d=4)
+    assert out["voters"] == 16
+    assert out["parity"] in (0, 1) and out["unanimous"] in (0, 1)
+
+
+def test_deep_chain_example():
+    import deep_chain
+
+    out = deep_chain.main(depth=12, recrypt_at=256)
+    assert out["decrypted"] == 1
+    assert out["recrypts"] >= 1
+    assert out["peak_chunks"] <= 512
+    assert out["unbounded_chunks_would_be"] == 2 ** 12

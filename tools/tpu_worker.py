@@ -22,17 +22,30 @@ import traceback
 Q = pathlib.Path(__file__).resolve().parent.parent / ".tpuq"
 Q.mkdir(exist_ok=True)
 
+# Exit (and release the device claim) after this long without jobs, or
+# immediately if .tpuq/STOP exists.  A lingering claim starves any other
+# process (e.g. the round driver's bench run) for many minutes.
+IDLE_TIMEOUT_S = 20 * 60
+
 print("initializing jax/TPU...", flush=True)
 import jax  # noqa: E402
 
 print("devices:", jax.devices(), flush=True)
 (Q / "READY").write_text(str(time.time()))
+last_work = time.time()
 
 while True:
+    if (Q / "STOP").exists():
+        print("STOP sentinel found; exiting", flush=True)
+        break
+    if time.time() - last_work > IDLE_TIMEOUT_S:
+        print("idle timeout; exiting to release the device claim", flush=True)
+        break
     jobs = sorted(p for p in Q.glob("*.py") if not p.with_suffix(".done").exists())
     if not jobs:
         time.sleep(0.5)
         continue
+    last_work = time.time()
     job = jobs[0]
     print("running", job.name, flush=True)
     buf = io.StringIO()
