@@ -82,10 +82,14 @@ class Ciphertext:
         return Ciphertext(dispatch.mul_chunks(self.wt, other.wt), self.ctx)
 
     def apply_permutation(self, p: Permutation) -> "Ciphertext":
+        """Apply π per chunk (out bit i = in bit π[i]) via the Beneš
+        delta-swap plan — packed-domain, no bit unpacking (bit-exact to the
+        `ops.core.permute_chunks` gather oracle; see ops/permute_benes.py)."""
         if p.n != self.ctx.n:
             raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
-        perm = jnp.asarray(p.perm)
-        return Ciphertext(core.permute_chunks(self.wt, perm, self.ctx.n), self.ctx)
+        from csgn_tpu.ops.permute_benes import apply_benes
+
+        return Ciphertext(apply_benes(self.wt, p.benes_plan()), self.ctx)
 
     # -- interop ------------------------------------------------------------
 

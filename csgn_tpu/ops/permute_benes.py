@@ -1,0 +1,150 @@
+"""Permutation as a Beneš network of word-parallel delta swaps.
+
+The gather path (`core.permute_chunks`) unpacks to a byte-per-bit tensor —
+8-32x traffic amplification.  This module stays in the packed uint32 domain:
+any permutation of N = 2^m bit positions decomposes into 2m-1 "delta swap"
+stages (deltas 1, 2, ..., N/2, ..., 2, 1), each a masked exchange of bit
+pairs at distance delta:
+
+  * delta < 32: in-word —  t = (X ^ (X << delta)) & M;  X ^= t ^ (t >> delta)
+  * delta >= 32: across words at the same in-word shift — row rolls + mask.
+
+Every stage is a handful of elementwise uint32 ops over the whole [Wp, C]
+tensor; XLA fuses the 21 stages into a few bandwidth-bound passes.  Routing
+(control-bit computation) runs once per permutation on the host in
+O(N log N) (the classic looping algorithm) and is cached on the Permutation
+object by callers.
+
+Semantics: `apply_benes(X, plan)` computes out bit i = in bit perm[i] for
+every chunk — identical to `core.permute_chunks` (tests enforce equality).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["BenesPlan", "build_plan", "apply_benes"]
+
+
+def _route(perm: np.ndarray) -> list[tuple[int, np.ndarray]]:
+    """Beneš looping algorithm: stage list [(delta, swap_mask_bool[N])].
+
+    `perm` is gather form: out[i] = in[perm[i]].  A stage's mask marks
+    positions i (with (i & delta) == 0) whose pair (i, i+delta) swaps.
+    """
+    n = len(perm)
+    assert n & (n - 1) == 0
+    if n == 1:
+        return []
+    if n == 2:
+        return [(1, np.array([perm[0] == 1, False]))]
+
+    inv = np.argsort(perm)
+    m = n // 2
+    halves = np.full(n, -1, dtype=np.int8)  # which half each OUTPUT rides
+
+    for start in range(n):
+        if halves[start] != -1:
+            continue
+        p, h = start, 0
+        while halves[p] == -1:
+            halves[p] = h
+            halves[p ^ 1] = 1 - h
+            # the element feeding out[p^1] travels in half 1-h; its input
+            # partner must take half h, surfacing at output inv[source^1].
+            src = perm[p ^ 1]
+            p = int(inv[src ^ 1])
+            # h stays: that output must ride half h.
+
+    pair_idx = np.arange(m)
+    lcontrol = halves[2 * pair_idx] != 0            # swap at output pair i
+    fcontrol = halves[inv[2 * pair_idx]] != 0       # swap at input pair j
+
+    # Sub-permutations realized by the inner networks (top = even slots).
+    out_slot_top = 2 * pair_idx + lcontrol.astype(int)
+    out_slot_bot = 2 * pair_idx + (1 - lcontrol.astype(int))
+    top = perm[out_slot_top] // 2
+    bot = perm[out_slot_bot] // 2
+
+    first_mask = np.zeros(n, dtype=bool)
+    first_mask[2 * pair_idx[fcontrol]] = True
+    last_mask = np.zeros(n, dtype=bool)
+    last_mask[2 * pair_idx[lcontrol]] = True
+
+    sub_top = _route(top)
+    sub_bot = _route(bot)
+    mid = []
+    for (dt, mt), (db, mb) in zip(sub_top, sub_bot):
+        assert dt == db
+        mask = np.zeros(n, dtype=bool)
+        mask[0::2] = mt
+        mask[1::2] = mb
+        mid.append((2 * dt, mask))
+    return [(1, first_mask)] + mid + [(1, last_mask)]
+
+
+def _pack_mask(mask: np.ndarray, wp: int) -> np.ndarray:
+    """bool[N] -> uint32[wp] in the MSB-first layout."""
+    n = len(mask)
+    out = np.zeros(wp, dtype=np.uint32)
+    idx = np.nonzero(mask)[0]
+    np.bitwise_or.at(out, idx // 32, (np.uint32(1) << (31 - idx % 32).astype(np.uint32)))
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class BenesPlan:
+    """Precomputed routing for one permutation: per-stage (delta, packed mask)."""
+
+    n: int                      # logical bit count
+    n_pad: int                  # power-of-two network size
+    deltas: tuple[int, ...]
+    masks: np.ndarray           # uint32[stages, n_pad/32]
+
+    @property
+    def words_pad(self) -> int:
+        return self.n_pad // 32
+
+
+def build_plan(perm: np.ndarray, n: int) -> BenesPlan:
+    """Route `perm` (gather form, length n) into a delta-swap plan."""
+    perm = np.asarray(perm, dtype=np.int64)
+    n_pad = 1 << max(5, int(np.ceil(np.log2(max(n, 2)))))
+    full = np.concatenate([perm, np.arange(n, n_pad)])  # identity on padding
+    stages = _route(full)
+    wp = n_pad // 32
+    deltas = tuple(int(d) for d, _ in stages)
+    masks = np.stack([_pack_mask(m, wp) for _, m in stages])
+    return BenesPlan(n=n, n_pad=n_pad, deltas=deltas, masks=masks)
+
+
+def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
+    """Apply the planned permutation to packed chunks uint32[..., W, C].
+
+    W may be smaller than the network's word count (rows are zero-padded and
+    sliced back); padding bits are zero and identity-routed, so canonical
+    form is preserved.
+    """
+    w = words.shape[-2]
+    wp = plan.words_pad
+    x = jnp.asarray(words).astype(jnp.uint32)
+    if wp != w:
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, wp - w), (0, 0)]
+        x = jnp.pad(x, pad)
+
+    for delta, mask in zip(plan.deltas, plan.masks):
+        m = jnp.asarray(mask)[..., :, None]
+        if delta < 32:
+            d = jnp.uint32(delta)
+            t = (x ^ (x << d)) & m
+            x = x ^ t ^ (t >> d)
+        else:
+            r = delta // 32
+            t = (x ^ jnp.roll(x, -r, axis=-2)) & m
+            x = x ^ t ^ jnp.roll(t, r, axis=-2)
+
+    return x[..., :w, :]

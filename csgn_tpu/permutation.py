@@ -26,7 +26,7 @@ __all__ = ["Permutation"]
 class Permutation:
     """A permutation of bit positions [0, n)."""
 
-    __slots__ = ("perm",)
+    __slots__ = ("perm", "_plan")
 
     def __init__(self, perm: np.ndarray):
         perm = np.asarray(perm, dtype=np.int32)
@@ -34,6 +34,16 @@ class Permutation:
             raise ValueError("permutation must be 1-D")
         self.perm = perm
         self.perm.setflags(write=False)
+        self._plan = None
+
+    def benes_plan(self):
+        """Cached Beneš delta-swap routing (see ops.permute_benes) — the
+        packed-domain application path used by Ciphertext.apply_permutation."""
+        if self._plan is None:
+            from csgn_tpu.ops.permute_benes import build_plan
+
+            self._plan = build_plan(self.perm, self.n)
+        return self._plan
 
     # -- constructors -------------------------------------------------------
 

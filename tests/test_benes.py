@@ -1,0 +1,68 @@
+"""Beneš-network permutation: router correctness + packed-domain equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csgn_tpu import Permutation, SecretKey
+from csgn_tpu.ops import core
+from csgn_tpu.ops.permute_benes import _route, apply_benes, build_plan
+
+
+def _apply_element_stages(x, stages):
+    x = list(x)
+    for d, mask in stages:
+        for i in np.nonzero(mask)[0]:
+            x[i], x[i + d] = x[i + d], x[i]
+    return np.array(x)
+
+
+@pytest.mark.parametrize("n", [2, 4, 8, 32, 128])
+def test_router_realizes_permutation(n):
+    rng = np.random.default_rng(n)
+    for _ in range(20):
+        perm = rng.permutation(n)
+        stages = _route(perm)
+        assert len(stages) == 2 * int(np.log2(n)) - 1
+        got = _apply_element_stages(np.arange(n), stages)
+        np.testing.assert_array_equal(got, np.arange(n)[perm])
+        # Stage masks only mark positions with (i & delta) == 0.
+        for d, m in stages:
+            assert not np.any(m & (np.arange(n) & d).astype(bool))
+
+
+@pytest.mark.parametrize("n", [95, 1247, 4095])
+def test_packed_apply_matches_gather_oracle(n):
+    from csgn_tpu.context import Context
+
+    ctx = Context(n, 4)
+    rng = np.random.default_rng(n)
+    perm = rng.permutation(n).astype(np.int32)
+    plan = build_plan(perm, n)
+    words = jnp.asarray(
+        rng.integers(0, 2**32, (ctx.words32, 5), dtype=np.uint32) & ctx.valid_mask[:, None]
+    )
+    got = apply_benes(words, plan)
+    want = core.permute_chunks(words, jnp.asarray(perm), n)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # Canonical form preserved (padding routed as identity on zero bits).
+    assert np.all(np.asarray(got) & ~ctx.valid_mask[:, None] == 0)
+
+
+def test_ciphertext_permutation_uses_benes(ctx, rng):
+    """End-to-end through the class API: Dec_{π(k)}(π(c)) = Dec_k(c)."""
+    keys = jax.random.split(rng, 3)
+    sk = SecretKey.generate(ctx, keys[0])
+    c = sk.encrypt(1, keys[1]) + sk.encrypt(1, keys[2])
+    p = Permutation.random(ctx, keys[2])
+    permuted = c.apply_permutation(p)
+    assert int(sk.apply_permutation(p).decrypt(permuted)) == int(sk.decrypt(c)) == 0
+    # Same words as the gather oracle.
+    want = core.permute_chunks(c.wt, jnp.asarray(p.perm), ctx.n)
+    np.testing.assert_array_equal(np.asarray(permuted.wt), np.asarray(want))
+
+
+def test_plan_caching(ctx, rng):
+    p = Permutation.random(ctx, rng)
+    assert p.benes_plan() is p.benes_plan()
