@@ -87,9 +87,7 @@ class Ciphertext:
         `ops.core.permute_chunks` gather oracle; see ops/permute_benes.py)."""
         if p.n != self.ctx.n:
             raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
-        from csgn_tpu.ops.permute_benes import apply_benes
-
-        return Ciphertext(apply_benes(self.wt, p.benes_plan()), self.ctx)
+        return Ciphertext(dispatch.permute(self.wt, p.benes_plan()), self.ctx)
 
     # -- interop ------------------------------------------------------------
 

@@ -27,7 +27,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BenesPlan", "build_plan", "apply_benes"]
+__all__ = ["BenesPlan", "build_plan", "apply_benes", "apply_benes_pallas", "BENES_PALLAS_MIN_C"]
+
+# Below this chunk count the XLA path wins (dispatch overhead + small blocks).
+BENES_PALLAS_MIN_C = 8192
 
 
 def _route(perm: np.ndarray) -> list[tuple[int, np.ndarray]]:
@@ -148,3 +151,60 @@ def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
             x = x ^ t ^ jnp.roll(t, r, axis=-2)
 
     return x[..., :w, :]
+
+
+# ---------------------------------------------------------------------------
+# Pallas-fused application: all stages per VMEM block, one HBM read+write
+# ---------------------------------------------------------------------------
+
+
+def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 4096) -> jax.Array:
+    """Fused Beneš on TPU: uint32[W, C] -> same, all 2m-1 stages applied while
+    each chunk block sits in VMEM.
+
+    The XLA path materializes every stage to HBM (21 round trips); this
+    kernel reads and writes each chunk once and is VPU-compute-bound
+    (~105 elementwise ops/element).  Measured at C=2^20: 3.0 ms vs 44 ms XLA
+    (docs/performance.md).  Requires C % block_c == 0 padding, handled here;
+    zero-pad chunks permute to zero (canonical).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w, c = words.shape
+    wp = plan.words_pad
+    bc = min(block_c, max(128, c))
+    cp = -(-c // bc) * bc
+    x = jnp.asarray(words).astype(jnp.uint32)
+    x = jnp.pad(x, ((0, wp - w), (0, cp - c)))
+    masks = jnp.asarray(plan.masks)
+    deltas = plan.deltas
+    n_stages = len(deltas)
+
+    def kern(m_ref, x_ref, o_ref):
+        x = x_ref[:]
+        for s, delta in enumerate(deltas):
+            m = m_ref[s].reshape(wp, 1)
+            if delta < 32:
+                d = jnp.uint32(delta)
+                t = (x ^ (x << d)) & m
+                x = x ^ t ^ (t >> d)
+            else:
+                r = delta // 32
+                t = (x ^ pltpu.roll(x, wp - r, axis=0)) & m
+                x = x ^ t ^ pltpu.roll(t, r, axis=0)
+        o_ref[:] = x
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((wp, cp), jnp.uint32),
+        grid=(cp // bc,),
+        in_specs=[
+            pl.BlockSpec((n_stages, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(masks, x)
+    return out[:w, :c]

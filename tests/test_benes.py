@@ -66,3 +66,22 @@ def test_ciphertext_permutation_uses_benes(ctx, rng):
 def test_plan_caching(ctx, rng):
     p = Permutation.random(ctx, rng)
     assert p.benes_plan() is p.benes_plan()
+
+
+@pytest.mark.parametrize("chunks", [64, 129, 4096])
+def test_pallas_fused_benes_matches(chunks):
+    """Interpret-mode check of the fused kernel vs the XLA delta-swap path."""
+    from csgn_tpu.context import Context
+    from csgn_tpu.ops.permute_benes import apply_benes_pallas
+
+    ctx2 = Context(1247, 16)
+    rng = np.random.default_rng(chunks)
+    perm = rng.permutation(ctx2.n).astype(np.int32)
+    plan = build_plan(perm, ctx2.n)
+    words = jnp.asarray(
+        rng.integers(0, 2**32, (ctx2.words32, chunks), dtype=np.uint32)
+        & ctx2.valid_mask[:, None]
+    )
+    got = apply_benes_pallas(words, plan, block_c=128)
+    want = apply_benes(words, plan)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
