@@ -1,0 +1,105 @@
+"""Fused batched encryption with the on-core TPU PRNG.
+
+The default encrypt path (`core.encrypt_bits`) generates randomness with
+counter-based threefry — reproducible and splittable, but ~10 VPU ops per
+random word.  This kernel uses the TPU's hardware PRNG
+(`pltpu.prng_random_bits`) and fuses generation + invariant fix-ups + store
+into one pass, targeting pure write bandwidth.
+
+Randomness contract: NOT bit-reproducible against the threefry path (a
+different generator) — encryption is randomized, so only the invariants
+matter (tests check decrypt round-trip, canonical form, and the bit-0/bit-1
+secret-position invariants).  Seeding is per grid step (`seed + program_id`)
+so blocks draw independent streams.
+
+Kernel-side gather workaround: Mosaic has no per-lane dynamic gather, so the
+random secret index r ∈ [0, d) selects its bit position via a static unroll
+over the d key indices (d is small: 16-32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["encrypt_bits_pallas"]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def encrypt_bits_pallas(
+    seed: int,
+    bits: jax.Array,
+    key_indices: np.ndarray,
+    mask: np.ndarray,
+    valid_mask: np.ndarray,
+    n: int,
+    d: int,
+    *,
+    block_b: int = 2048,
+) -> jax.Array:
+    """Encrypt bits[batch] -> uint32[W, batch] with the hardware PRNG.
+
+    `key_indices`, `mask`, `valid_mask` are host numpy (static for the
+    kernel).  Returns the same invariants as `core.encrypt_bits`:
+    bit 1 -> all d secret positions set; bit 0 -> AND over secret positions
+    broken at one uniformly chosen position; padding bits zero.
+    """
+    key_idx = tuple(int(x) for x in np.asarray(key_indices).reshape(-1))
+    assert len(key_idx) == d
+    w = len(np.asarray(mask).reshape(-1))
+    batch = bits.shape[0]
+    bb = min(block_b, _round_up(max(batch, 128), 128))
+    bp = _round_up(batch, bb)
+
+    bits_in = jnp.pad(jnp.asarray(bits).astype(jnp.uint32), (0, bp - batch)).reshape(1, bp)
+    mask_c = jnp.asarray(np.asarray(mask, dtype=np.uint32).reshape(w, 1))
+    vm_c = jnp.asarray(np.asarray(valid_mask, dtype=np.uint32).reshape(w, 1))
+
+    def kern(bits_ref, mask_ref, vm_ref, o_ref):
+        pltpu.prng_seed(seed + pl.program_id(0))
+        words = pltpu.bitcast(pltpu.prng_random_bits((w, bb)), jnp.uint32)
+        extra = pltpu.bitcast(pltpu.prng_random_bits((2, bb)), jnp.uint32)
+        m = mask_ref[:]
+        words = words & vm_ref[:]
+
+        # bit == 1: all secret positions set.
+        ones_words = words | m
+
+        # bit == 0: pick r uniformly in [0, d); static unroll over the key.
+        r = extra[0] % jnp.uint32(d)                           # (bb,)
+        word_ids = jax.lax.broadcasted_iota(jnp.int32, (w, bb), 0)
+        onehot = jnp.zeros((w, bb), jnp.uint32)
+        for k, pos in enumerate(key_idx):
+            sel = (r == jnp.uint32(k))[None, :]                # (1, bb)
+            hit = (word_ids == (pos // 32)) & sel
+            onehot = jnp.where(hit, jnp.uint32(1) << (31 - pos % 32), onehot)
+        mask_wo = m & ~onehot
+        others_all_one = jnp.all((words & mask_wo) == mask_wo, axis=0)  # (bb,)
+        rand_bit = extra[1] & jnp.uint32(1)
+        forced = jnp.where(others_all_one, jnp.uint32(0), rand_bit)[None, :]
+        zero_words = (words & ~onehot) | (onehot * forced)
+
+        is_one = (bits_ref[0] & jnp.uint32(1))[None, :] == jnp.uint32(1)
+        o_ref[:] = jnp.where(is_one, ones_words, zero_words)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((w, bp), jnp.uint32),
+        grid=(bp // bb,),
+        in_specs=[
+            pl.BlockSpec((1, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((w, bb), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(bits_in, mask_c, vm_c)
+    return out[:, :batch]

@@ -85,8 +85,29 @@ class SecretKey:
         words = self.encrypt_batch(jnp.array([bit], dtype=jnp.uint8), rng)
         return Ciphertext(words, self.ctx)
 
-    def encrypt_batch(self, bits: jax.Array, rng: jax.Array) -> jax.Array:
-        """Encrypt bits[batch] -> fresh chunk words uint32[W, batch]."""
+    def encrypt_batch(self, bits: jax.Array, rng, engine: str = "threefry") -> jax.Array:
+        """Encrypt bits[batch] -> fresh chunk words uint32[W, batch].
+
+        engine="threefry" (default): counter-based `jax.random` — `rng` is a
+        PRNG key; reproducible and splittable (371 M enc/s on v5e).
+        engine="pallas": fused TPU kernel on the hardware PRNG — `rng` is an
+        integer seed; 3.4x faster (1.27 B enc/s) but TPU-only and not
+        bit-reproducible against threefry (encryption is randomized; both
+        satisfy the same invariants).
+        """
+        if engine == "pallas":
+            from csgn_tpu.ops.encrypt_pallas import encrypt_bits_pallas
+
+            if jax.default_backend() != "tpu":
+                raise NotImplementedError(
+                    "engine='pallas' needs a TPU (the on-core PRNG has no CPU lowering)"
+                )
+            return encrypt_bits_pallas(
+                int(rng), jnp.asarray(bits), self.indices, self._mask,
+                self.ctx.valid_mask, self.ctx.n, self.ctx.d,
+            )
+        if engine != "threefry":
+            raise ValueError(f"unknown encrypt engine {engine!r}")
         return _encrypt_batch_jit(
             rng,
             jnp.asarray(bits),
