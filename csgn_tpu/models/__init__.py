@@ -7,5 +7,6 @@ on top of an NN framework's ops.
 """
 
 from csgn_tpu.models.circuits import Gates
+from csgn_tpu.models.linear import matvec_f2
 
-__all__ = ["Gates"]
+__all__ = ["Gates", "matvec_f2"]

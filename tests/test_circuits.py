@@ -94,3 +94,23 @@ def test_parity(setup):
     bits = [1, 1, 0, 1, 0]
     cts = [sk.encrypt(b, ks[i]) for i, b in enumerate(bits)]
     assert int(sk.decrypt(g.parity(cts))) == sum(bits) % 2
+
+
+def test_matvec_f2(setup):
+    import numpy as np
+
+    from csgn_tpu.models.linear import matvec_f2
+
+    sk, g, keys = setup
+    bits = [1, 0, 1, 1]
+    cts = [sk.encrypt(b, keys[i % 8]) for i, b in enumerate(bits)]
+    M = np.array([[1, 1, 0, 0], [0, 1, 1, 1], [1, 1, 1, 1]])
+    out = matvec_f2(M, cts)
+    want = (M @ np.array(bits)) % 2
+    got = [int(sk.decrypt(o)) for o in out]
+    assert got == list(want)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="selects no inputs"):
+        matvec_f2(np.zeros((1, 4), dtype=int), cts)
