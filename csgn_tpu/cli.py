@@ -83,6 +83,7 @@ def cmd_timings(cfg: RunConfig) -> int:
     rtt = measure_rtt()
     print(f"[dispatch round-trip baseline: {rtt*1e3:.2f} ms — subtracted below]")
 
+    SecretKey.generate(ctx, keys[3])          # warm the keygen compile
     t = Timer("keygen")
     t.start()
     sk = SecretKey.generate(ctx, keys[0])
@@ -106,6 +107,7 @@ def cmd_timings(cfg: RunConfig) -> int:
     tm = device_median_time(lambda: np.asarray(mul_jit(words, words)[0, 0]), rtt=rtt)
     print(f"multiply {cfg.batch}x{cfg.batch} chunks: {tm*1e3:.3f} ms")
 
+    Permutation.random(ctx, keys[3])          # warm the compile
     tp = Timer("permutation generation")
     tp.start()
     perm = Permutation.random(ctx, keys[2])

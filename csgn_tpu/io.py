@@ -17,9 +17,7 @@ permutations) into one checkpoint file for a whole computation.
 
 from __future__ import annotations
 
-import pathlib
 
-import jax.numpy as jnp
 import numpy as np
 
 from csgn_tpu.ciphertext import Ciphertext

@@ -19,7 +19,6 @@ over the d key indices (d is small: 16-32).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ deep chains are a memory/scheduling problem, not just a kernel problem
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from csgn_tpu.ciphertext import Ciphertext

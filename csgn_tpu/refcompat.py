@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from csgn_tpu import layout
 from csgn_tpu.context import Context
 from csgn_tpu.rng import GlibcRand
 

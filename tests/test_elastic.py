@@ -18,7 +18,7 @@ from csgn_tpu.parallel.mesh import chunk_mesh
 from csgn_tpu.parallel.multihost import pad_chunks_to, shard_ciphertext
 
 
-@pytest.mark.parametrize("resume_devices", [2, 4, 8])
+@pytest.mark.parametrize("resume_devices", [2, 4, 6, 8])
 def test_checkpoint_resume_across_mesh_sizes(tmp_path, ctx, resume_devices):
     keys = jax.random.split(jax.random.key(0), 3)
     sk = SecretKey.generate(ctx, keys[0])
