@@ -14,10 +14,14 @@ keys (`jax.random`), and timing lives in `csgn_tpu.utils.timing`.
 """
 
 from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.config import RunConfig
 from csgn_tpu.context import Context
 from csgn_tpu.permutation import Permutation
 from csgn_tpu.plaintext import Plaintext
 from csgn_tpu.secret_key import SecretKey
+
+# Subpackages (io, ops, parallel, models, pipeline, utils) import lazily via
+# their qualified names; the classes above are the reference-parity surface.
 
 __version__ = "0.1.0"
 
@@ -27,5 +31,6 @@ __all__ = [
     "SecretKey",
     "Ciphertext",
     "Permutation",
+    "RunConfig",
     "__version__",
 ]
