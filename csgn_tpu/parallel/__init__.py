@@ -16,7 +16,9 @@ from csgn_tpu.parallel.multihost import (
 from csgn_tpu.parallel.ops import (
     sharded_decrypt_parity,
     sharded_encrypt_bits,
+    sharded_encrypt_bits_invariant,
     sharded_mul_allgather,
+    sharded_mul_broadcast,
     sharded_mul_ring,
 )
 
@@ -28,7 +30,9 @@ __all__ = [
     "pad_chunks_to",
     "shard_ciphertext",
     "sharded_mul_allgather",
+    "sharded_mul_broadcast",
     "sharded_mul_ring",
+    "sharded_encrypt_bits_invariant",
     "sharded_decrypt_parity",
     "sharded_encrypt_bits",
 ]

@@ -40,6 +40,7 @@ __all__ = [
     "sharded_mul_ring",
     "sharded_decrypt_parity",
     "sharded_encrypt_bits",
+    "sharded_encrypt_bits_invariant",
 ]
 
 
@@ -155,6 +156,40 @@ def sharded_decrypt_parity(words: jax.Array, mask: jax.Array, mesh: Mesh, axis: 
         out_specs=P(None),
     )(words, mask)
     return out[0]
+
+
+def sharded_encrypt_bits_invariant(
+    rng: jax.Array,
+    bits: jax.Array,
+    key_indices: jax.Array,
+    mask: jax.Array,
+    valid_mask: jax.Array,
+    n: int,
+    d: int,
+    mesh: Mesh,
+    axis: str = CHUNK_AXIS,
+) -> jax.Array:
+    """Batch-sharded encryption whose output is **mesh-invariant**.
+
+    Uses partitionable threefry (jax_threefry_partitionable) under plain
+    jit + shardings instead of shard_map + per-device fold_in: each device
+    generates its slice of the SAME logical random array, so results are
+    bit-identical across any device count (1 chip == N hosts) — the property
+    golden/replay workflows need.  `sharded_encrypt_bits` (fold_in streams)
+    remains the cheaper choice when mesh-invariance doesn't matter.
+    """
+    from jax.sharding import NamedSharding
+
+    nd = _n_axis(mesh, axis)
+    if bits.shape[0] % nd:
+        raise ValueError(f"batch {bits.shape[0]} not divisible by mesh axis {nd}")
+    in_sh = NamedSharding(mesh, P(axis))
+    out_sh = NamedSharding(mesh, P(None, axis))
+    f = jax.jit(
+        functools.partial(core.encrypt_bits, n=n, d=d),
+        out_shardings=out_sh,
+    )
+    return f(rng, jax.device_put(bits, in_sh), key_indices, mask, valid_mask)
 
 
 def sharded_encrypt_bits(

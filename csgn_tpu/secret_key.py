@@ -132,6 +132,20 @@ class SecretKey:
         -> bits uint32[batch].  (Parity of one chunk == its match bit.)"""
         return _chunk_matches_jit(words, jnp.asarray(self._mask))
 
+    def decrypt_product(self, cts: list[Ciphertext]) -> Plaintext:
+        """Decrypt a product WITHOUT materializing it: Dec(∏ cᵢ) = ∧ Dec(cᵢ).
+
+        Multiplication is a homomorphism for AND, so the parity of the
+        (t₁·t₂·…)-chunk product equals the AND of the factors' parities —
+        O(Σ tᵢ) instead of O(∏ tᵢ).  Key-side only (requires decrypting).
+        """
+        acc = 1
+        for ct in cts:
+            acc &= int(self.decrypt(ct))
+            if acc == 0:
+                break
+        return Plaintext(acc)
+
     def recrypt(self, ciphertext: Ciphertext, rng: jax.Array) -> Ciphertext:
         """Key-side re-encryption: decrypt and produce a fresh 1-chunk
         ciphertext of the same bit.
