@@ -64,3 +64,11 @@ def test_checked_decrypt(ctx, rng):
     )
     with pytest.raises(Exception, match="non-canonical"):
         err.throw()
+
+
+def test_cli_timings_runs(capsys):
+    from csgn_tpu import cli
+
+    assert cli.main(["timings", "--n", "95", "--d", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "keygen" in out and "multiply" in out
