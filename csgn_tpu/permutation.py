@@ -88,3 +88,10 @@ class Permutation:
 
     def __repr__(self) -> str:
         return f"Permutation(n={self.n})"
+
+    def __str__(self) -> str:
+        # Two-line cycle notation, as the reference prints it
+        # (src/Permutation.cpp:33-46).
+        top = " ".join(str(i) for i in range(self.n))
+        bot = " ".join(str(int(x)) for x in self.perm)
+        return f"({top} )\n({bot} )"

@@ -174,3 +174,8 @@ class SecretKey:
 
     def __repr__(self) -> str:
         return f"SecretKey(ctx={self.ctx}, d={self.ctx.d})"
+
+    def __str__(self) -> str:
+        # Space-separated index list, as the reference prints it
+        # (src/SecretKey.cpp:22-29).
+        return " ".join(str(int(x)) for x in self.indices) + " "
