@@ -1,0 +1,108 @@
+"""Full kernel-vs-oracle validation sweep on the real TPU.
+
+CPU tests run the Pallas kernels in interpreter mode; this script re-proves
+bit-exactness under the actual Mosaic compiler on hardware, across the shapes
+that exercise padding/fallback paths, plus an end-to-end million-chunk run
+(BASELINE config 5, single chip).
+
+Run (directly or via the .tpuq worker): python tools/tpu_validate.py
+Exit code 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from csgn_tpu.ciphertext import Ciphertext
+    from csgn_tpu.context import Context
+    from csgn_tpu.ops import core, dispatch, kernels
+    from csgn_tpu.ops.permute_benes import build_plan
+    from csgn_tpu.secret_key import SecretKey
+
+    print(f"backend={jax.default_backend()} devices={jax.devices()}", file=sys.stderr)
+    fails: list = []
+    ctx = Context(1247, 16)
+    rng = np.random.default_rng(0)
+    vm = ctx.valid_mask[:, None]
+
+    def rand_wc(chunks):
+        return jnp.asarray(rng.integers(0, 2**32, (ctx.words32, chunks), dtype=np.uint32) & vm)
+
+    # multiply kernel vs oracle (incl. pad path t1 % BI != 0)
+    for t1, t2 in [(1, 128), (4, 128), (37, 256), (128, 1024), (4096, 512), (3, 4096)]:
+        a, b = rand_wc(t1), rand_wc(t2)
+        if not kernels.mul_pallas_supported(t1, t2, ctx.words32):
+            print(f"mul {t1}x{t2}: pallas unsupported (expected)")
+            continue
+        ok = np.array_equal(
+            np.asarray(kernels.mul_chunks_pallas(a, b)),
+            np.asarray(jax.jit(core.mul_chunks)(a, b)),
+        )
+        print(f"mul {t1}x{t2}: exact={ok}")
+        if not ok:
+            fails.append(("mul", t1, t2))
+
+    # decrypt kernel vs oracle
+    sk = SecretKey.generate(ctx, jax.random.key(1))
+    mask = jnp.asarray(sk.mask)
+    for chunks in [1, 127, 4096, 100000]:
+        w = rand_wc(chunks)
+        ok = int(kernels.decrypt_parity_pallas(w, mask)) == int(jax.jit(core.decrypt_parity)(w, mask))
+        print(f"dec pallas chunks={chunks}: exact={ok}")
+        if not ok:
+            fails.append(("dec", chunks))
+
+    # permutation dispatch (XLA Beneš below threshold, Pallas-fused above)
+    perm = rng.permutation(ctx.n).astype(np.int32)
+    plan = build_plan(perm, ctx.n)
+    permj = jnp.asarray(perm)
+    for chunks in [1, 100, 8192, 131072]:
+        w = rand_wc(chunks)
+        ok = np.array_equal(
+            np.asarray(dispatch.permute(w, plan)),
+            np.asarray(jax.jit(core.permute_chunks, static_argnames="n")(w, permj, n=ctx.n)),
+        )
+        print(f"permute chunks={chunks}: exact={ok}")
+        if not ok:
+            fails.append(("permute", chunks))
+
+    # pallas encrypt invariants + roundtrip
+    from csgn_tpu.ops.encrypt_pallas import encrypt_bits_pallas
+
+    bits = jnp.asarray(rng.integers(0, 2, 4096), dtype=jnp.uint8)
+    words = np.asarray(
+        encrypt_bits_pallas(1234, bits, sk.indices, sk.mask, ctx.valid_mask, ctx.n, ctx.d)
+    )
+    ok = (
+        np.array_equal(np.asarray(sk.decrypt_batch(jnp.asarray(words))), np.asarray(bits))
+        and bool(np.all(words & ~vm == 0))
+    )
+    print(f"pallas encrypt roundtrip+canonical: {ok}")
+    if not ok:
+        fails.append("encrypt")
+
+    # end-to-end 2^20-chunk config (BASELINE config 5, single chip)
+    t0 = time.time()
+    big_bits = jnp.asarray(rng.integers(0, 2, 1 << 20), dtype=jnp.uint8)
+    big = Ciphertext(sk.encrypt_batch(big_bits, jax.random.key(2)), ctx)
+    op = Ciphertext(sk.encrypt_batch(jnp.asarray([1, 0], dtype=jnp.uint8), jax.random.key(3)), ctx)
+    prod = big * op
+    expect = int(np.asarray(big_bits).sum() % 2)
+    ok = int(sk.decrypt(big)) == expect and int(sk.decrypt(prod)) == (expect & int(sk.decrypt(op)))
+    print(f"e2e 1M-chunk multiply+decrypt: {ok} ({time.time()-t0:.1f}s)")
+    if not ok:
+        fails.append("e2e")
+
+    print("FAILS:", fails or "none")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
