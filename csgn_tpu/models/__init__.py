@@ -8,5 +8,6 @@ on top of an NN framework's ops.
 
 from csgn_tpu.models.circuits import Gates
 from csgn_tpu.models.linear import matvec_f2
+from csgn_tpu.models.lookup import private_lookup
 
-__all__ = ["Gates", "matvec_f2"]
+__all__ = ["Gates", "matvec_f2", "private_lookup"]

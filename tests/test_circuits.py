@@ -114,3 +114,19 @@ def test_matvec_f2(setup):
 
     with pytest.raises(ValueError, match="selects no inputs"):
         matvec_f2(np.zeros((1, 4), dtype=int), cts)
+
+
+def test_private_lookup(setup):
+    import itertools
+
+    import jax as _jax
+
+    from csgn_tpu.models.lookup import private_lookup
+
+    sk, g, keys = setup
+    table = [1, 0, 1, 1]  # k = 2
+    for addr in range(4):
+        ks = _jax.random.split(_jax.random.key(500 + addr), 2)
+        addr_bits = [sk.encrypt((addr >> j) & 1, ks[j]) for j in range(2)]
+        out = private_lookup(g, addr_bits, table)
+        assert int(sk.decrypt(out)) == table[addr], addr

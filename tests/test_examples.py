@@ -22,3 +22,11 @@ def test_deep_chain_example():
     assert out["recrypts"] >= 1
     assert out["peak_chunks"] <= 512
     assert out["unbounded_chunks_would_be"] == 2 ** 12
+
+
+def test_sharded_pipeline_example():
+    import sharded_pipeline
+
+    out = sharded_pipeline.main(batch=16, n=95, d=4)
+    assert out["devices"] >= 1
+    assert out["product_chunks"] == out["batch"] ** 2
