@@ -81,23 +81,10 @@ class Context:
         Bits at positions >= n are never occupied; ANDing with this mask keeps
         packed chunks canonical (all padding bits zero).
         """
-        j = np.arange(self.words32 * 32)
-        bits = (j < self.n).astype(np.uint32)
-        return _pack_bits_np(bits)
+        from csgn_tpu import layout
+
+        return layout.bit_positions_to_mask(np.arange(self.n), self.n)
 
     def chunk_count_bytes(self, chunks: int) -> int:
         """Bytes of packed ciphertext payload for ``chunks`` chunks."""
         return chunks * self.words32 * 4
-
-
-def _pack_bits_np(bits: np.ndarray) -> np.ndarray:
-    """Host-side MSB-first bit packing (numpy twin of layout.pack_bits)."""
-    n = bits.shape[-1]
-    w32 = -(-n // 32)
-    if w32 % 2:
-        w32 += 1
-    pad = w32 * 32 - n
-    b = np.pad(bits.astype(np.uint32), [(0, 0)] * (bits.ndim - 1) + [(0, pad)])
-    b = b.reshape(*bits.shape[:-1], w32, 32)
-    shifts = np.arange(31, -1, -1, dtype=np.uint32)
-    return np.bitwise_or.reduce(b << shifts, axis=-1).astype(np.uint32)
