@@ -67,6 +67,16 @@ class Ciphertext:
         """Payload bytes (packed)."""
         return self.ctx.chunk_count_bytes(self.chunks)
 
+    @property
+    def bitlen(self) -> tuple[int, ...]:
+        """Per-uint64-word occupied bit counts, whole ciphertext.
+
+        The reference materializes this per ciphertext (`getBitlen`,
+        src/Ciphertext.h:19-23); here it is derived — always the per-chunk
+        pattern repeated (proven constant by src/SecretKey.cpp:171-173).
+        """
+        return self.ctx.bitlen * self.chunks
+
     # -- homomorphic operators ---------------------------------------------
 
     def _check_ctx(self, other: "Ciphertext") -> None:

@@ -88,3 +88,7 @@ class Context:
     def chunk_count_bytes(self, chunks: int) -> int:
         """Bytes of packed ciphertext payload for ``chunks`` chunks."""
         return chunks * self.words32 * 4
+
+    def __str__(self) -> str:
+        # Reference `operator<<` format (src/Context.cpp:40-47).
+        return f"N= {self.n}\nD= {self.d}\nS= {self.s}"
