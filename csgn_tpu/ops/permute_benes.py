@@ -27,7 +27,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["BenesPlan", "build_plan", "apply_benes", "apply_benes_pallas", "BENES_PALLAS_MIN_C"]
+__all__ = [
+    "BenesPlan",
+    "build_plan",
+    "apply_benes",
+    "apply_benes_batch",
+    "apply_benes_pallas",
+    "stack_plans",
+    "BENES_PALLAS_MIN_C",
+]
 
 # Below this chunk count the XLA path wins (dispatch overhead + small blocks).
 BENES_PALLAS_MIN_C = 8192
@@ -151,6 +159,48 @@ def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
             x = x ^ t ^ jnp.roll(t, r, axis=-2)
 
     return x[..., :w, :]
+
+
+def stack_plans(plans: list[BenesPlan]) -> tuple[tuple[int, ...], np.ndarray]:
+    """Stack k same-size plans into (deltas, masks uint32[k, S, WP]).
+
+    All Beneš networks on the same n_pad share the delta schedule; only the
+    stage masks differ, so k permutations batch into one mask tensor.
+    """
+    if not plans:
+        raise ValueError("no plans")
+    n_pad = plans[0].n_pad
+    for p in plans[1:]:
+        if p.n_pad != n_pad:
+            raise ValueError("plans must share n_pad")
+    return plans[0].deltas, np.stack([p.masks for p in plans])
+
+
+def apply_benes_batch(words: jax.Array, deltas: tuple[int, ...], masks: jax.Array) -> jax.Array:
+    """Apply k DIFFERENT permutations to k ciphertexts in one computation.
+
+    words: uint32[k, W, C]; masks: uint32[k, S, WP] from `stack_plans`.
+    Batch element i gets permutation i — the key-rotation-fleet pattern
+    (e.g. re-randomizing many ciphertexts under distinct transforms at once).
+    """
+    k, w, c = words.shape
+    wp = masks.shape[-1]
+    x = jnp.asarray(words).astype(jnp.uint32)
+    if wp != w:
+        x = jnp.pad(x, ((0, 0), (0, wp - w), (0, 0)))
+    m_all = jnp.asarray(masks)
+
+    for s, delta in enumerate(deltas):
+        m = m_all[:, s, :, None]                      # [k, WP, 1]
+        if delta < 32:
+            d = jnp.uint32(delta)
+            t = (x ^ (x << d)) & m
+            x = x ^ t ^ (t >> d)
+        else:
+            r = delta // 32
+            t = (x ^ jnp.roll(x, -r, axis=-2)) & m
+            x = x ^ t ^ jnp.roll(t, r, axis=-2)
+    return x[:, :w, :]
 
 
 # ---------------------------------------------------------------------------

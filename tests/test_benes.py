@@ -85,3 +85,25 @@ def test_pallas_fused_benes_matches(chunks):
     got = apply_benes_pallas(words, plan, block_c=128)
     want = apply_benes(words, plan)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_apply_benes_batch_multi_permutation(ctx):
+    """k different permutations over k ciphertexts in one fused computation."""
+    from csgn_tpu.ops.permute_benes import apply_benes_batch, stack_plans
+
+    rng = np.random.default_rng(77)
+    k, chunks = 3, 6
+    plans, perms = [], []
+    for _ in range(k):
+        p = rng.permutation(ctx.n).astype(np.int32)
+        perms.append(p)
+        plans.append(build_plan(p, ctx.n))
+    deltas, masks = stack_plans(plans)
+    words = jnp.asarray(
+        rng.integers(0, 2**32, (k, ctx.words32, chunks), dtype=np.uint32)
+        & ctx.valid_mask[None, :, None]
+    )
+    got = apply_benes_batch(words, deltas, jnp.asarray(masks))
+    for i in range(k):
+        want = core.permute_chunks(words[i], jnp.asarray(perms[i]), ctx.n)
+        np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want), err_msg=str(i))
