@@ -42,7 +42,7 @@ def encrypt_bits_pallas(
     n: int,
     d: int,
     *,
-    block_b: int = 2048,
+    block_b: int = 4096,
 ) -> jax.Array:
     """Encrypt bits[batch] -> uint32[W, batch] with the hardware PRNG.
 

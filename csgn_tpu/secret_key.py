@@ -91,7 +91,7 @@ class SecretKey:
         engine="threefry" (default): counter-based `jax.random` — `rng` is a
         PRNG key; reproducible and splittable (371 M enc/s on v5e).
         engine="pallas": fused TPU kernel on the hardware PRNG — `rng` is an
-        integer seed; 3.4x faster (1.27 B enc/s) but TPU-only and not
+        integer seed; 7x faster (2.68 B enc/s) but TPU-only and not
         bit-reproducible against threefry (encryption is randomized; both
         satisfy the same invariants).
         """
