@@ -30,3 +30,15 @@ def test_sharded_pipeline_example():
     out = sharded_pipeline.main(batch=16, n=95, d=4)
     assert out["devices"] >= 1
     assert out["product_chunks"] == out["batch"] ** 2
+
+
+def test_deep_chain_32(small_ctx):
+    """32-deep multiplication chain (BASELINE config 3 upper bound) with
+    recrypt growth resets keeping peak chunks bounded."""
+    import deep_chain
+
+    out = deep_chain.main(depth=32, recrypt_at=1024)
+    assert out["decrypted"] == 1
+    assert out["depth"] == 32
+    assert out["peak_chunks"] <= 2048
+    assert out["unbounded_chunks_would_be"] == 2 ** 32

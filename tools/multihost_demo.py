@@ -22,7 +22,7 @@ NPROC = 2
 LOCAL_DEVICES = 2
 
 
-def worker(pid: int) -> int:
+def worker(pid: int, t1: int = 16, t2: int = 8) -> int:
     import jax
 
     jax.distributed.initialize(
@@ -38,7 +38,12 @@ def worker(pid: int) -> int:
     _sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from csgn_tpu.context import Context
     from csgn_tpu.ops import core
-    from csgn_tpu.parallel import chunk_mesh, sharded_decrypt_parity, sharded_mul_allgather
+    from csgn_tpu.parallel import (
+        chunk_mesh,
+        sharded_decrypt_parity,
+        sharded_mul_allgather,
+        sharded_mul_broadcast,
+    )
     from csgn_tpu.secret_key import SecretKey
 
     ndev = len(jax.devices())
@@ -47,13 +52,15 @@ def worker(pid: int) -> int:
 
     ctx = Context(1247, 16)
     rng = np.random.default_rng(0)  # same on every process: replicated inputs
-    t1, t2 = 16, 8
     a = jnp.asarray(rng.integers(0, 2**32, (ctx.words32, t1), dtype=np.uint32) & ctx.valid_mask[:, None])
     b = jnp.asarray(rng.integers(0, 2**32, (ctx.words32, t2), dtype=np.uint32) & ctx.valid_mask[:, None])
     sk = SecretKey(ctx, np.arange(ctx.d, dtype=np.int32) * 71 + 3)
     mask = jnp.asarray(sk.mask)
 
-    prod = sharded_mul_allgather(a, b, mesh)
+    if t2 % ndev == 0:
+        prod = sharded_mul_allgather(a, b, mesh)
+    else:
+        prod = sharded_mul_broadcast(a, b, mesh)  # small operand stays replicated
     parity = int(sharded_decrypt_parity(prod, mask, mesh))
 
     want_prod = np.asarray(core.mul_chunks(a, b))
@@ -73,9 +80,11 @@ def worker(pid: int) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--t1", type=int, default=16)
+    ap.add_argument("--t2", type=int, default=8)
     args = ap.parse_args()
     if args.worker is not None:
-        return worker(args.worker)
+        return worker(args.worker, args.t1, args.t2)
 
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
@@ -83,7 +92,11 @@ def main() -> int:
     env.pop("PYTHONPATH", None)  # drop the axon sitecustomize: pure-CPU run
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     procs = [
-        subprocess.Popen([sys.executable, os.path.abspath(__file__), "--worker", str(i)], env=env)
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+             "--t1", str(args.t1), "--t2", str(args.t2)],
+            env=env,
+        )
         for i in range(NPROC)
     ]
     rc = max(p.wait(timeout=600) for p in procs)
