@@ -13,6 +13,15 @@ TPU-native re-design of reference `certFHE::Ciphertext`
     the exact hi/lo split of the reference's MSB-first uint64 words (see
     `csgn_tpu.layout`).  Chunk-major views exist only at the serialization
     boundary (`to_u64`/`from_u64`).
+  * **Lazy chunk order** — decryption is a parity over the multiset of
+    chunks (src/SecretKey.cpp:126-140), so chunk order is semantically
+    irrelevant; only the reference's byte layout pins multiply's ``i*t2+j``
+    order (src/Ciphertext.cpp:159).  Producing that order physically is a
+    lane-granularity interleave — measured 3-6x slower than the j-major
+    order for small/unaligned t2 — so ``*`` materializes whichever order the
+    TPU likes and records the reference order in a ``logical`` index tag,
+    resolved by one gather at interop boundaries (see `csgn_tpu.ops.order`).
+    `set_eager_order(True)` restores physically-canonical results everywhere.
   * **No materialized bitlen** — the reference carries a per-word `bitlen`
     array (src/Ciphertext.h:19-23), but it is always the same per-chunk
     pattern (src/SecretKey.cpp:171-173); here it is derived from the context
@@ -37,19 +46,41 @@ import numpy as np
 
 from csgn_tpu import layout
 from csgn_tpu.context import Context
-from csgn_tpu.ops import core, dispatch
+from csgn_tpu.ops import core, dispatch, order
 from csgn_tpu.permutation import Permutation
 
-__all__ = ["Ciphertext"]
+__all__ = ["Ciphertext", "set_eager_order"]
+
+# When True, every operator materializes the canonical chunk order physically
+# (strict per-op layout parity with the reference; slower for small t2).
+_EAGER_ORDER = False
+
+
+def set_eager_order(eager: bool) -> bool:
+    """Toggle physically-canonical chunk order for all new results.
+
+    Returns the previous setting.  Lazy order (the default) is bit-exact at
+    every interop boundary; eager mode additionally makes the raw device
+    payload `wt` match the reference order after every single op.
+    """
+    global _EAGER_ORDER
+    prev = _EAGER_ORDER
+    _EAGER_ORDER = bool(eager)
+    return prev
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Ciphertext:
-    """Packed ciphertext words ``uint32[W, chunks]`` plus its static context."""
+    """Packed ciphertext words ``uint32[W, chunks]`` plus its static context.
+
+    ``logical`` (optional int32[chunks]) maps physical column p to its
+    reference-order index; None means physical == canonical order.
+    """
 
     wt: jax.Array
     ctx: Context = dataclasses.field(metadata=dict(static=True))
+    logical: jax.Array | None = None
 
     def __post_init__(self):
         w = self.wt
@@ -77,6 +108,11 @@ class Ciphertext:
         """
         return self.ctx.bitlen * self.chunks
 
+    @property
+    def is_canonical(self) -> bool:
+        """True if the physical payload is already in reference chunk order."""
+        return self.logical is None
+
     # -- homomorphic operators ---------------------------------------------
 
     def _check_ctx(self, other: "Ciphertext") -> None:
@@ -85,25 +121,43 @@ class Ciphertext:
 
     def __add__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
-        return Ciphertext(core.add_chunks(self.wt, other.wt), self.ctx)
+        tag = order.concat_logical(self.logical, other.logical, self.chunks, other.chunks)
+        return Ciphertext(core.add_chunks(self.wt, other.wt), self.ctx, tag)
 
     def __mul__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
-        return Ciphertext(dispatch.mul_chunks(self.wt, other.wt), self.ctx)
+        if _EAGER_ORDER:
+            a, b = self.canonical(), other.canonical()
+            return Ciphertext(dispatch.mul_chunks(a.wt, b.wt), self.ctx)
+        out, jmajor = dispatch.mul_chunks_auto(self.wt, other.wt)
+        tag = order.cross_logical(
+            self.logical, other.logical, self.chunks, other.chunks, jmajor=jmajor
+        )
+        return Ciphertext(out, self.ctx, tag)
 
     def apply_permutation(self, p: Permutation) -> "Ciphertext":
         """Apply π per chunk (out bit i = in bit π[i]) via the Beneš
         delta-swap plan — packed-domain, no bit unpacking (bit-exact to the
-        `ops.core.permute_chunks` gather oracle; see ops/permute_benes.py)."""
+        `ops.core.permute_chunks` gather oracle; see ops/permute_benes.py).
+        Chunk positions are untouched, so the order tag carries over."""
         if p.n != self.ctx.n:
             raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
-        return Ciphertext(dispatch.permute(self.wt, p.benes_plan()), self.ctx)
+        return Ciphertext(dispatch.permute(self.wt, p.benes_plan()), self.ctx, self.logical)
+
+    # -- chunk order ---------------------------------------------------------
+
+    def canonical(self) -> "Ciphertext":
+        """Materialize reference chunk order (one lane gather; no-op if
+        already canonical)."""
+        if self.logical is None:
+            return self
+        return Ciphertext(order.canonicalize(self.wt, self.logical), self.ctx)
 
     # -- interop ------------------------------------------------------------
 
     def chunk_major(self) -> np.ndarray:
-        """Host-side chunk-major view: uint32[chunks, W]."""
-        return np.asarray(jax.device_get(self.wt)).T
+        """Host-side chunk-major view in reference order: uint32[chunks, W]."""
+        return np.asarray(jax.device_get(self.canonical().wt)).T
 
     def to_u64(self) -> np.ndarray:
         """Reference-layout uint64 words, flat ``[chunks * words64]`` (host)."""
@@ -127,4 +181,8 @@ class Ciphertext:
         return layout.format_bits(self.chunk_major(), self.ctx.n)
 
     def __repr__(self) -> str:
-        return f"Ciphertext(chunks={self.wt.shape[-1]}, W={self.wt.shape[-2]}, ctx={self.ctx})"
+        ordr = "canonical" if self.logical is None else "lazy"
+        return (
+            f"Ciphertext(chunks={self.wt.shape[-1]}, W={self.wt.shape[-2]}, "
+            f"order={ordr}, ctx={self.ctx})"
+        )

@@ -6,10 +6,17 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 
 from csgn_tpu.ops import core, kernels
 
-__all__ = ["mul_chunks", "decrypt_parity"]
+__all__ = ["mul_chunks", "mul_chunks_auto", "mul_chunks_jmajor", "decrypt_parity"]
+
+# XLA j-major concat beats the grouped kernel up to ~32 b-chunks (measured
+# crossover between t2=16 and t2=48; docs/performance.md).
+_JMAJOR_XLA_MAX_T2 = 32
+# Grouped kernel beats XLA's canonical broadcast+reshape from ~8 b-chunks up.
+_GROUPED_MIN_T2 = 8
 
 
 @functools.cache
@@ -22,19 +29,88 @@ def _jit_core_decrypt():
     return jax.jit(core.decrypt_parity)
 
 
+@functools.cache
+def _jit_jmajor_xla():
+    @jax.jit
+    def jm(a, b):
+        t2 = b.shape[-1]
+        return jnp.concatenate([a & b[:, j : j + 1] for j in range(t2)], axis=-1)
+
+    return jm
+
+
+def mul_chunks_jmajor(a: jax.Array, b: jax.Array) -> jax.Array:
+    """[W,t1] x [W,t2] -> [W, t1*t2] in **j-major** physical order
+    (column p = j*t1 + i holds a_i & b_j).
+
+    The j-major product is a concatenation of lane-aligned elementwise ANDs,
+    so it avoids the lane-interleave that makes the canonical i-major order
+    3-6x slower for small/unaligned t2 (measured; docs/performance.md).
+    Equivalently it is the canonical product with the operands swapped, which
+    lets the aligned Pallas kernels serve shapes they could not canonically.
+    """
+    w, t1 = a.shape[-2], a.shape[-1]
+    t2 = b.shape[-1]
+    if jax.default_backend() == "tpu" and a.ndim == 2:
+        if kernels.mul_pallas_supported(t2, t1, w):
+            return kernels.mul_chunks_pallas(b, a)
+        if kernels.mul_tiled_supported(t2, t1, w):
+            return kernels.mul_chunks_pallas_tiled(b, a)
+    return _jit_jmajor_xla()(a, b)
+
+
 def mul_chunks(a: jax.Array, b: jax.Array) -> jax.Array:
-    """[W,t1] x [W,t2] -> [W,t1*t2].  Pallas on TPU for large outputs (pure
-    output-streaming, ~3x less HBM traffic than XLA's broadcast fusion);
-    XLA otherwise (small ops are dispatch-bound)."""
-    t_out = a.shape[-1] * b.shape[-1]
+    """[W,t1] x [W,t2] -> [W,t1*t2] in canonical i-major order.
+
+    Pallas on TPU for large outputs (pure output streaming, ~3x less HBM
+    traffic than XLA's broadcast fusion); XLA otherwise (small ops are
+    dispatch-bound, and XLA's fused form wins whenever the product feeds a
+    reduction instead of being materialized)."""
+    t1, t2 = a.shape[-1], b.shape[-1]
     if (
         jax.default_backend() == "tpu"
         and a.ndim == 2
-        and t_out >= kernels.MUL_PALLAS_MIN_OUT
-        and kernels.mul_pallas_supported(a.shape[-1], b.shape[-1], a.shape[0])
+        and t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
     ):
-        return kernels.mul_chunks_pallas(a, b)
+        w = a.shape[0]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            return kernels.mul_chunks_pallas(a, b)
+        if kernels.mul_tiled_supported(t1, t2, w):
+            return kernels.mul_chunks_pallas_tiled(a, b)
+        if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            return kernels.mul_chunks_pallas_grouped(a, b)
     return _jit_core_mul()(a, b)
+
+
+def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool]:
+    """Fastest materialized product, canonical or j-major: returns
+    ``(words, jmajor)``.
+
+    Policy (single-chip v5e measurements, docs/performance.md): canonical
+    Pallas kernels when the shape is lane-aligned (no tag overhead);
+    otherwise the j-major order via swapped Pallas kernels or XLA
+    concatenation; the grouped canonical kernel and XLA's canonical form
+    cover the rest."""
+    t1, t2 = a.shape[-1], b.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 2
+        and t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[0]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            return kernels.mul_chunks_pallas(a, b), False
+        if kernels.mul_tiled_supported(t1, t2, w):
+            return kernels.mul_chunks_pallas_tiled(a, b), False
+        if kernels.mul_pallas_supported(t2, t1, w):
+            return kernels.mul_chunks_pallas(b, a), True
+        if kernels.mul_tiled_supported(t2, t1, w):
+            return kernels.mul_chunks_pallas_tiled(b, a), True
+        if 1 < t2 <= _JMAJOR_XLA_MAX_T2:
+            return _jit_jmajor_xla()(a, b), True
+        if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            return kernels.mul_chunks_pallas_grouped(a, b), False
+    return _jit_core_mul()(a, b), False
 
 
 def decrypt_parity(words: jax.Array, mask: jax.Array) -> jax.Array:

@@ -25,7 +25,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["mul_chunks_pallas", "decrypt_parity_pallas", "MUL_PALLAS_MIN_OUT"]
+__all__ = [
+    "mul_chunks_pallas",
+    "mul_chunks_pallas_grouped",
+    "mul_chunks_pallas_tiled",
+    "decrypt_parity_pallas",
+    "MUL_PALLAS_MIN_OUT",
+]
 
 # Below this output size (chunks), dispatch overhead dominates and the XLA
 # broadcast path is used instead (see ops.dispatch).
@@ -103,6 +109,139 @@ def mul_chunks_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
 
     # Padded a-columns land at the tail (i >= t1) of the i-major layout.
     return out[:, : t1 * t2] if t1p != t1 else out
+
+
+# ---------------------------------------------------------------------------
+# Multiply variants: unaligned / small t2 (grouped) and huge t2 (b-tiled)
+# ---------------------------------------------------------------------------
+
+# The flat kernel above needs t2 % 128 == 0 because output tile `i` starts at
+# lane i*t2 and Mosaic block columns must be lane-aligned.  The grouped kernel
+# lifts that: it consumes GR a-columns per step (GR % 128 == 0, so both the
+# a-block and the GR*t2-lane output block are lane-aligned) and assembles the
+# output block in VMEM (unaligned concatenation is VPU shuffle work; fine for
+# moderate t2, and the i-major order is usually better obtained lazily — see
+# ops.order).  The tiled kernel lifts the b-fits-VMEM limit for 128-aligned
+# t2 by streaming b tiles through VMEM.
+
+_MUL_GROUP_MAX_PIECES = 256
+
+
+def mul_grouped_supported(t1: int, t2: int, w: int) -> bool:
+    """Grouped kernel: lane-aligned a-blocks (>=128 columns per step) need the
+    minimum (W, 128*t2) output block to fit the VMEM budget."""
+    return t2 >= 1 and 128 * t2 * w * 4 <= _MUL_VMEM_OUT_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("assembly",))
+def mul_chunks_pallas_grouped(
+    a: jax.Array, b: jax.Array, *, assembly: str = "concat"
+) -> jax.Array:
+    """Cross-product AND for arbitrary t2 (b VMEM-resident).
+
+    [W,t1] x [W,t2] -> [W, t1*t2], out index i*t2+j (reference
+    src/Ciphertext.cpp:159 ordering).  Each grid step consumes GR a-columns
+    (GR % 128 == 0 so the a-block and the GR*t2-lane output block are both
+    lane-aligned) and assembles the block in VMEM, either as one
+    concatenation of GR pieces or as GR unaligned sub-stores (both
+    Mosaic-supported; measured on chip to pick the default).  t2 == 1
+    degenerates to a broadcast AND with large blocks (no assembly).
+    """
+    w, t1 = a.shape
+    _, t2 = b.shape
+    # a-blocks are kept lane-aligned (GR % 128 == 0) so a is consumed in
+    # place — an earlier [W,t1] -> [steps,W,GR] regroup cost a full extra HBM
+    # pass on large a (measured: dominated the kernel for chain t1 >> t2).
+    if t2 == 1:
+        # Pure lane-broadcast AND: no per-piece work, so use ~2 MB blocks.
+        gr = min(_round_up(t1, 128), 128 * max(1, (2 << 20) // (128 * w * 4)))
+    else:
+        # Widen the block toward ~1 MB, keeping the piece count bounded.
+        gr = 128 * max(
+            1,
+            min(
+                _MUL_GROUP_MAX_PIECES // 128,
+                (1 << 20) // max(128 * t2 * w * 4, 1),
+            ),
+        )
+    t1p = _round_up(t1, gr)
+    ap = jnp.pad(a, ((0, 0), (0, t1p - t1))) if t1p != t1 else a
+
+    def kern(a_ref, b_ref, o_ref):
+        av = a_ref[:]                                       # (W, GR)
+        bv = b_ref[:]                                       # (W, t2)
+        if t2 == 1:
+            o_ref[:] = av & bv                              # lane broadcast
+        elif assembly == "stores":
+            for ii in range(gr):
+                o_ref[:, ii * t2 : (ii + 1) * t2] = av[:, ii : ii + 1] & bv
+        else:
+            pieces = [av[:, ii : ii + 1] & bv for ii in range(gr)]
+            o_ref[:] = jnp.concatenate(pieces, axis=1)
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((w, t1p * t2), jnp.uint32),
+        grid=(t1p // gr,),
+        in_specs=[
+            pl.BlockSpec((w, gr), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, t2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((w, gr * t2), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(ap, b)
+
+    return out[:, : t1 * t2] if t1p != t1 else out
+
+
+def _pick_bt(t2: int, w: int) -> int:
+    """Largest 128-multiple divisor of t2 with a <=2 MB (W, BT) tile."""
+    cap = max((2 << 20) // (w * 4), 128)
+    best = 0
+    bt = 128
+    while bt <= min(t2, cap):
+        if t2 % bt == 0:
+            best = bt
+        bt += 128
+    return best
+
+
+def mul_tiled_supported(t1: int, t2: int, w: int) -> bool:
+    return t2 % 128 == 0 and _pick_bt(t2, w) > 0
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mul_chunks_pallas_tiled(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Cross-product AND with b streamed through VMEM (t2 % 128 == 0, any size).
+
+    [W,t1] x [W,t2] -> [W, t1*t2], out index i*t2+j.  Grid is (b-tiles,
+    a-columns) with b-tile outermost so each of the t2/BT b tiles is fetched
+    once and swept across all t1 a-columns; per-step output block is (W, BT)
+    at lane offset i*t2 + j*BT.  Output traffic dominates (a and b are each
+    read ~once), so this sustains near write speed-of-light even when b
+    exceeds the flat kernel's 8 MB VMEM budget.
+    """
+    w, t1 = a.shape
+    _, t2 = b.shape
+    bt = _pick_bt(t2, w)
+    ag = a.T.reshape(t1, w, 1)
+
+    def kern(a_ref, b_ref, o_ref):
+        o_ref[:] = a_ref[0] & b_ref[:]                      # (W,1) & (W,BT)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((w, t1 * t2), jnp.uint32),
+        grid=(t2 // bt, t1),
+        in_specs=[
+            pl.BlockSpec((1, w, 1), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (w, bt), lambda j, i: (0, i * (t2 // bt) + j), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(ag, b)
 
 
 # ---------------------------------------------------------------------------
