@@ -22,6 +22,11 @@ TPU-native re-design of reference `certFHE::Ciphertext`
     TPU likes and records the reference order in a ``logical`` index tag,
     resolved by one gather at interop boundaries (see `csgn_tpu.ops.order`).
     `set_eager_order(True)` restores physically-canonical results everywhere.
+  * **Alignment pad chunks** — an all-zero chunk is parity-neutral under
+    decryption and absorbing under multiply, so the dispatch may append zero
+    chunks (marked PAD in the tag, counted in the static ``pad`` field) to
+    reach Mosaic lane alignment; they are dropped by the same interop gather.
+    ``chunks`` always reports the reference-visible (logical) count.
   * **No materialized bitlen** — the reference carries a per-word `bitlen`
     array (src/Ciphertext.h:19-23), but it is always the same per-chunk
     pattern (src/SecretKey.cpp:171-173); here it is derived from the context
@@ -81,16 +86,34 @@ class Ciphertext:
     wt: jax.Array
     ctx: Context = dataclasses.field(metadata=dict(static=True))
     logical: jax.Array | None = None
+    pad: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     def __post_init__(self):
         w = self.wt
         if hasattr(w, "ndim") and w.ndim != 2:
             raise ValueError(f"ciphertext words must be [W, chunks], got shape {w.shape}")
+        if self.pad and self.logical is None:
+            raise ValueError("padded ciphertext requires an order tag")
+        if (
+            self.logical is not None
+            and hasattr(self.logical, "shape")
+            and hasattr(w, "shape")
+            and self.logical.shape != (w.shape[-1],)
+        ):
+            raise ValueError(
+                f"order tag shape {self.logical.shape} != physical chunks {w.shape[-1]}"
+            )
 
     # -- properties ---------------------------------------------------------
 
     @property
     def chunks(self) -> int:
+        """Logical chunk count — what the reference layout has (pads excluded)."""
+        return int(self.wt.shape[-1]) - self.pad
+
+    @property
+    def physical_chunks(self) -> int:
+        """Device-resident chunk count, including alignment pad chunks."""
         return int(self.wt.shape[-1])
 
     @property
@@ -122,18 +145,21 @@ class Ciphertext:
     def __add__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
         tag = order.concat_logical(self.logical, other.logical, self.chunks, other.chunks)
-        return Ciphertext(core.add_chunks(self.wt, other.wt), self.ctx, tag)
+        return Ciphertext(
+            core.add_chunks(self.wt, other.wt), self.ctx, tag, self.pad + other.pad
+        )
 
     def __mul__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
         if _EAGER_ORDER:
             a, b = self.canonical(), other.canonical()
             return Ciphertext(dispatch.mul_chunks(a.wt, b.wt), self.ctx)
-        out, jmajor = dispatch.mul_chunks_auto(self.wt, other.wt)
-        tag = order.cross_logical(
-            self.logical, other.logical, self.chunks, other.chunks, jmajor=jmajor
-        )
-        return Ciphertext(out, self.ctx, tag)
+        out, jmajor, zp_a, zp_b = dispatch.mul_chunks_auto(self.wt, other.wt)
+        la = order.extend_with_pads(self.logical, self.chunks, zp_a)
+        lb = order.extend_with_pads(other.logical, other.chunks, zp_b)
+        tag = order.cross_logical(la, lb, self.chunks, other.chunks, jmajor=jmajor)
+        pad = int(out.shape[-1]) - self.chunks * other.chunks
+        return Ciphertext(out, self.ctx, tag, pad)
 
     def apply_permutation(self, p: Permutation) -> "Ciphertext":
         """Apply π per chunk (out bit i = in bit π[i]) via the Beneš
@@ -142,16 +168,20 @@ class Ciphertext:
         Chunk positions are untouched, so the order tag carries over."""
         if p.n != self.ctx.n:
             raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
-        return Ciphertext(dispatch.permute(self.wt, p.benes_plan()), self.ctx, self.logical)
+        return Ciphertext(
+            dispatch.permute(self.wt, p.benes_plan()), self.ctx, self.logical, self.pad
+        )
 
     # -- chunk order ---------------------------------------------------------
 
     def canonical(self) -> "Ciphertext":
-        """Materialize reference chunk order (one lane gather; no-op if
-        already canonical)."""
+        """Materialize reference chunk order, dropping alignment pad chunks
+        (one lane gather; no-op if already canonical)."""
         if self.logical is None:
             return self
-        return Ciphertext(order.canonicalize(self.wt, self.logical), self.ctx)
+        return Ciphertext(
+            order.canonicalize(self.wt, self.logical, self.chunks), self.ctx
+        )
 
     # -- interop ------------------------------------------------------------
 
@@ -182,7 +212,8 @@ class Ciphertext:
 
     def __repr__(self) -> str:
         ordr = "canonical" if self.logical is None else "lazy"
+        padinfo = f"+{self.pad}pad" if self.pad else ""
         return (
-            f"Ciphertext(chunks={self.wt.shape[-1]}, W={self.wt.shape[-2]}, "
+            f"Ciphertext(chunks={self.chunks}{padinfo}, W={self.wt.shape[-2]}, "
             f"order={ordr}, ctx={self.ctx})"
         )

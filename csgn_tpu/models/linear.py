@@ -35,7 +35,7 @@ def matvec_f2(matrix: np.ndarray, cts: list[Ciphertext]) -> list[Ciphertext]:
 
     out = []
     for i in range(m.shape[0]):
-        sel = [cts[j].wt for j in range(m.shape[1]) if m[i, j] & 1]
+        sel = [cts[j].canonical().wt for j in range(m.shape[1]) if m[i, j] & 1]
         if not sel:
             raise ValueError(f"row {i} selects no inputs (no public zero encryption)")
         words = sel[0]

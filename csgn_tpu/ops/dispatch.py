@@ -17,6 +17,11 @@ __all__ = ["mul_chunks", "mul_chunks_auto", "mul_chunks_jmajor", "decrypt_parity
 _JMAJOR_XLA_MAX_T2 = 32
 # Grouped kernel beats XLA's canonical broadcast+reshape from ~8 b-chunks up.
 _GROUPED_MIN_T2 = 8
+# For 2 <= t2 <= 4 the ragged kernel (389 GB/s measured at t2=2) beats the
+# XLA j-major concat (149-183 GB/s); from 5-32 the concat reaches 183-325 GB/s
+# with no pad waste, and at t2 == 1 XLA's broadcast AND (225 GB/s) beats the
+# ragged kernel's shallow one-block grid (155 GB/s).
+_RAGGED_JM_SMALL_T2 = 4
 
 
 @functools.cache
@@ -82,15 +87,22 @@ def mul_chunks(a: jax.Array, b: jax.Array) -> jax.Array:
     return _jit_core_mul()(a, b)
 
 
-def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool]:
-    """Fastest materialized product, canonical or j-major: returns
-    ``(words, jmajor)``.
+def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:
+    """Fastest materialized product, in whatever layout the TPU likes:
+    returns ``(words, jmajor, zpad_a, zpad_b)``.
+
+    ``zpad_a``/``zpad_b`` report all-zero chunks the ragged kernel appended
+    to that operand for lane alignment (parity-neutral; the caller records
+    them as PAD in the order tag — ops/order.py).  The output then has
+    ``(t1+zpad_a) * (t2+zpad_b)`` physical chunks.
 
     Policy (single-chip v5e measurements, docs/performance.md): canonical
-    Pallas kernels when the shape is lane-aligned (no tag overhead);
-    otherwise the j-major order via swapped Pallas kernels or XLA
-    concatenation; the grouped canonical kernel and XLA's canonical form
-    cover the rest."""
+    Pallas kernels when the shape is lane-aligned (no tag overhead); swapped
+    Pallas kernels (j-major) when the other operand is aligned; the ragged
+    kernel (which zero-pads its streamed operand in-kernel) when either
+    operand is large, covering every unaligned shape at tiled-kernel rates;
+    XLA j-major concatenation and the grouped canonical kernel for the
+    mid-size unaligned shapes; XLA's canonical form for the rest."""
     t1, t2 = a.shape[-1], b.shape[-1]
     if (
         jax.default_backend() == "tpu"
@@ -99,18 +111,30 @@ def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool]:
     ):
         w = a.shape[0]
         if kernels.mul_pallas_supported(t1, t2, w):
-            return kernels.mul_chunks_pallas(a, b), False
+            return kernels.mul_chunks_pallas(a, b), False, 0, 0
         if kernels.mul_tiled_supported(t1, t2, w):
-            return kernels.mul_chunks_pallas_tiled(a, b), False
+            return kernels.mul_chunks_pallas_tiled(a, b), False, 0, 0
         if kernels.mul_pallas_supported(t2, t1, w):
-            return kernels.mul_chunks_pallas(b, a), True
+            return kernels.mul_chunks_pallas(b, a), True, 0, 0
         if kernels.mul_tiled_supported(t2, t1, w):
-            return kernels.mul_chunks_pallas_tiled(b, a), True
+            return kernels.mul_chunks_pallas_tiled(b, a), True, 0, 0
+        # Ragged kernel: stream the larger operand, zero-padded in-kernel.
+        # For 5 <= t2 <= 32 the XLA j-major concat already runs at comparable
+        # rates with no pad growth, so the ragged path only takes t2 outside
+        # that band (measured crossovers: docs/performance.md).
+        if kernels.mul_ragged_supported(t2) and t2 >= t1:
+            zp = kernels.ragged_padded(t2) - t2
+            return kernels.mul_chunks_pallas_tiled_ragged(a, b), False, 0, zp
+        if kernels.mul_ragged_supported(t1) and (
+            1 < t2 <= _RAGGED_JM_SMALL_T2 or t2 > _JMAJOR_XLA_MAX_T2
+        ):
+            zp = kernels.ragged_padded(t1) - t1
+            return kernels.mul_chunks_pallas_tiled_ragged(b, a), True, zp, 0
         if 1 < t2 <= _JMAJOR_XLA_MAX_T2:
-            return _jit_jmajor_xla()(a, b), True
+            return _jit_jmajor_xla()(a, b), True, 0, 0
         if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
-            return kernels.mul_chunks_pallas_grouped(a, b), False
-    return _jit_core_mul()(a, b), False
+            return kernels.mul_chunks_pallas_grouped(a, b), False, 0, 0
+    return _jit_core_mul()(a, b), False, 0, 0
 
 
 def decrypt_parity(words: jax.Array, mask: jax.Array) -> jax.Array:

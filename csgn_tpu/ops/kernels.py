@@ -29,6 +29,7 @@ __all__ = [
     "mul_chunks_pallas",
     "mul_chunks_pallas_grouped",
     "mul_chunks_pallas_tiled",
+    "mul_chunks_pallas_tiled_ragged",
     "decrypt_parity_pallas",
     "MUL_PALLAS_MIN_OUT",
 ]
@@ -239,6 +240,81 @@ def mul_chunks_pallas_tiled(a: jax.Array, b: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec(
             (w, bt), lambda j, i: (0, i * (t2 // bt) + j), memory_space=pltpu.VMEM
+        ),
+        interpret=_interpret(),
+    )(ag, b)
+
+
+# ---------------------------------------------------------------------------
+# Multiply: ragged-tiled — stream an *unaligned* operand, zero-padding it to
+# lane alignment inside the kernel (pad chunks are parity-neutral; the caller
+# records them in the order tag — see ops/order.py)
+# ---------------------------------------------------------------------------
+
+
+def ragged_bt(t: int) -> int:
+    """Streamed-operand block size: power of two in [1024, 8192], at most
+    ~t/16 so the alignment waste (< one block) stays under ~6%."""
+    return min(8192, max(1024, 1 << max(0, t.bit_length() - 5)))
+
+
+def ragged_padded(t: int) -> int:
+    """Padded streamed-operand length the ragged kernel will produce."""
+    return _round_up(t, ragged_bt(t))
+
+
+RAGGED_MIN_T = 1 << 14
+
+
+def mul_ragged_supported(t: int) -> bool:
+    """Streamed operand must be large enough to amortize the pad waste."""
+    return t >= RAGGED_MIN_T
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mul_chunks_pallas_tiled_ragged(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Cross-product AND streaming an unaligned b: [W,t1] x [W,t2] ->
+    [W, t1*t2p] with t2p = ragged_padded(t2).
+
+    Same structure as `mul_chunks_pallas_tiled` (b-tile outermost, output
+    block (W, BT) per step) but t2 need not be 128-aligned: each i-block of
+    the output holds b's t2 chunks followed by t2p-t2 all-zero pad chunks.
+    The final (partial) b tile is masked to zero in-kernel, so no HBM-side
+    copy of either operand is ever made — the pad costs only its share of
+    output writes, bounded by ragged_bt (< ~6% of the product).  Pad chunks
+    are parity-neutral under decrypt and absorbing under multiply; the caller
+    marks them PAD in the order tag (ops/order.py).
+    """
+    w, t1 = a.shape
+    _, t2 = b.shape
+    bt = ragged_bt(t2)
+    t2p = _round_up(t2, bt)
+    ag = a.T.reshape(t1, w, 1)
+    last = t2 // bt                                         # ragged tile index
+
+    def kern(a_ref, b_ref, o_ref):
+        j = pl.program_id(0)
+        o_ref[:] = a_ref[0] & b_ref[:]                      # (W,1) & (W,BT)
+        if t2 % bt:
+            # Boundary tile: lanes at or beyond t2 read unspecified padding
+            # from the clamped DMA — force them to zero (pad chunks MUST be
+            # exactly zero to stay parity-neutral).
+            @pl.when(j == last)
+            def _():
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (w, bt), 1)
+                valid = (j * bt + lanes) < t2
+                o_ref[:] = jnp.where(valid, a_ref[0] & b_ref[:], jnp.uint32(0))
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((w, t1 * t2p), jnp.uint32),
+        grid=(t2p // bt, t1),
+        in_specs=[
+            pl.BlockSpec((1, w, 1), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (w, bt), lambda j, i: (0, i * (t2p // bt) + j), memory_space=pltpu.VMEM
         ),
         interpret=_interpret(),
     )(ag, b)

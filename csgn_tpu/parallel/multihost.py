@@ -48,6 +48,7 @@ def pad_chunks_to(ct: Ciphertext, multiple: int) -> tuple[Ciphertext, int]:
     they never match a nonzero mask).  Returns (padded, original_chunks)."""
     import jax.numpy as jnp
 
+    ct = ct.canonical()  # sharding pads are untracked: resolve any order tag
     c = ct.chunks
     cp = -(-c // multiple) * multiple
     if cp == c:

@@ -56,7 +56,9 @@ def mul_chain(cts: list[Ciphertext]) -> Ciphertext:
             acc = core.mul_chunks(acc, wt)
         return acc
 
-    return Ciphertext(fold(*[ct.wt for ct in cts]), ctx)
+    # Canonicalize inputs (no-op for fresh ciphertexts): the fused fold
+    # produces the reference i-major order, so its result carries no tag.
+    return Ciphertext(fold(*[ct.canonical().wt for ct in cts]), ctx)
 
 
 def mul_chain_sharded(cts: list[Ciphertext], mesh: Mesh, axis: str = CHUNK_AXIS) -> Ciphertext:
@@ -73,8 +75,9 @@ def mul_chain_sharded(cts: list[Ciphertext], mesh: Mesh, axis: str = CHUNK_AXIS)
         raise ValueError("empty chain")
     ctx = cts[0].ctx
     nd = mesh.shape[axis]
-    acc = cts[0].wt
+    acc = cts[0].canonical().wt
     for ct in cts[1:]:
+        ct = ct.canonical()
         if ct.chunks % nd == 0:
             acc = sharded_mul_allgather(acc, ct.wt, mesh, axis)
         else:

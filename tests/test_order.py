@@ -25,10 +25,24 @@ def jmajor_mul(monkeypatch):
     """Force Ciphertext.__mul__ onto the j-major physical order path."""
 
     def auto(a, b):
-        return dispatch.mul_chunks_jmajor(a, b), True
+        return dispatch.mul_chunks_jmajor(a, b), True, 0, 0
 
     monkeypatch.setattr(dispatch, "mul_chunks_auto", auto)
     # ciphertext.py imported `dispatch` as a module, so the patch is seen.
+    yield
+
+
+@pytest.fixture
+def ragged_mul(monkeypatch):
+    """Force Ciphertext.__mul__ onto the ragged (zero-padded j-major) path."""
+    from csgn_tpu.ops import kernels
+
+    def auto(a, b):
+        t1 = a.shape[-1]
+        zp = kernels.ragged_padded(t1) - t1
+        return kernels.mul_chunks_pallas_tiled_ragged(b, a), True, zp, 0
+
+    monkeypatch.setattr(dispatch, "mul_chunks_auto", auto)
     yield
 
 
@@ -122,6 +136,81 @@ def test_inverse_permutation_roundtrip():
     perm = jnp.asarray(rng.permutation(257).astype(np.int32))
     inv = order.inverse_permutation(perm)
     np.testing.assert_array_equal(np.asarray(perm)[np.asarray(inv)], np.arange(257))
+
+
+def test_ragged_kernel_oracle_and_zero_pads(ctx):
+    """Ragged kernel output: real chunks match the oracle per i-block, pad
+    lanes are exactly zero (parity-neutrality depends on it)."""
+    from csgn_tpu.ops import kernels
+
+    rng = np.random.default_rng(10)
+    a, b = _rand_ct(rng, 3, ctx), _rand_ct(rng, 1100, ctx)  # unaligned streamed b
+    out = np.asarray(kernels.mul_chunks_pallas_tiled_ragged(a.wt, b.wt))
+    t2p = kernels.ragged_padded(1100)
+    assert out.shape == (ctx.words32, 3 * t2p)
+    want = np.asarray(core.mul_chunks(a.wt, b.wt))
+    for i in range(3):
+        blk = out[:, i * t2p : (i + 1) * t2p]
+        np.testing.assert_array_equal(blk[:, :1100], want[:, i * 1100 : (i + 1) * 1100])
+        assert not blk[:, 1100:].any()
+
+
+def test_pad_chunks_compose_and_canonicalize(ctx, ragged_mul):
+    rng = np.random.default_rng(11)
+    a, b = _rand_ct(rng, 37, ctx), _rand_ct(rng, 3, ctx)
+    prod = a * b
+    assert prod.chunks == 37 * 3
+    assert prod.pad == prod.physical_chunks - 37 * 3 > 0
+    want = core.mul_chunks(a.wt, b.wt)
+    np.testing.assert_array_equal(np.asarray(prod.canonical().wt), np.asarray(want))
+    # pads survive an add and still canonicalize away
+    c = _rand_ct(rng, 5, ctx)
+    s = prod + c
+    assert s.pad == prod.pad and s.chunks == 37 * 3 + 5
+    want_s = core.add_chunks(want, c.wt)
+    np.testing.assert_array_equal(np.asarray(s.canonical().wt), np.asarray(want_s))
+    # and survive being an operand of a further (j-major) multiply
+    d = _rand_ct(rng, 2, ctx)
+    p2 = s * d
+    assert p2.chunks == s.chunks * 2
+    want_p2 = core.mul_chunks(want_s, d.wt)
+    np.testing.assert_array_equal(np.asarray(p2.canonical().wt), np.asarray(want_p2))
+
+
+def test_pad_decrypt_neutral_and_serialization(ctx, ragged_mul):
+    keys = jax.random.split(jax.random.key(12), 8)
+    sk = SecretKey.generate(ctx, keys[0])
+    bits = [1, 1, 0, 1]
+    cts = [sk.encrypt(b, k) for b, k in zip(bits, keys[1:])]
+    expr = ((cts[0] + cts[1] + cts[2]) * cts[3]) * cts[1]
+    assert expr.pad > 0
+    want = ((bits[0] ^ bits[1] ^ bits[2]) & bits[3]) & bits[1]
+    assert sk.decrypt(expr) == want
+    # serialization drops pads and matches the eager (pad-free) bytes
+    prev = set_eager_order(True)
+    try:
+        eager = ((cts[0] + cts[1] + cts[2]) * cts[3]) * cts[1]
+        assert eager.pad == 0 and eager.is_canonical
+    finally:
+        set_eager_order(prev)
+    np.testing.assert_array_equal(expr.to_u64(), eager.to_u64())
+
+
+def test_pad_requires_tag(ctx):
+    rng = np.random.default_rng(13)
+    ct = _rand_ct(rng, 4, ctx)
+    with pytest.raises(ValueError, match="order tag"):
+        Ciphertext(ct.wt, ctx, None, 1)
+
+
+def test_canonicalize_drops_pads():
+    rng = np.random.default_rng(14)
+    words = jnp.asarray(rng.integers(0, 2**32, size=(4, 7), dtype=np.uint32))
+    # physical: [real2, pad, real0, pad, real1, real3, pad]
+    tag = jnp.asarray(np.array([2, -1, 0, -1, 1, 3, -1], np.int32))
+    got = np.asarray(order.canonicalize(words, tag, 4))
+    want = np.asarray(words)[:, [2, 4, 0, 5]]
+    np.testing.assert_array_equal(got, want)
 
 
 def test_ciphertext_pytree_with_tag(ctx, jmajor_mul):
