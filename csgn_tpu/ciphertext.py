@@ -53,6 +53,7 @@ from csgn_tpu import layout
 from csgn_tpu.context import Context
 from csgn_tpu.ops import core, dispatch, order
 from csgn_tpu.permutation import Permutation
+from csgn_tpu.utils.metrics import op_metrics
 
 __all__ = ["Ciphertext", "set_eager_order"]
 
@@ -121,6 +122,13 @@ class Ciphertext:
         """Payload bytes (packed)."""
         return self.ctx.chunk_count_bytes(self.chunks)
 
+    def size(self) -> int:
+        """Reference byte accounting (src/Ciphertext.cpp:91-101): four
+        pointer/length fields + words and bitlen arrays (16 B per uint64
+        word).  352 B for a fresh Context(1247,16) ciphertext, matching the
+        reference's printed size.  Device payload bytes are `nbytes`."""
+        return 32 + 16 * self.chunks * self.ctx.words64
+
     @property
     def bitlen(self) -> tuple[int, ...]:
         """Per-uint64-word occupied bit counts, whole ciphertext.
@@ -144,22 +152,32 @@ class Ciphertext:
 
     def __add__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
-        tag = order.concat_logical(self.logical, other.logical, self.chunks, other.chunks)
-        return Ciphertext(
-            core.add_chunks(self.wt, other.wt), self.ctx, tag, self.pad + other.pad
-        )
+        t1, t2 = self.chunks, other.chunks
+        with op_metrics().record(
+            "ct.add", chunks_in=t1 + t2, chunks_out=t1 + t2,
+            bytes_moved=self.ctx.chunk_count_bytes(2 * (t1 + t2)),
+        ):
+            tag = order.concat_logical(self.logical, other.logical, t1, t2)
+            return Ciphertext(
+                core.add_chunks(self.wt, other.wt), self.ctx, tag, self.pad + other.pad
+            )
 
     def __mul__(self, other: "Ciphertext") -> "Ciphertext":
         self._check_ctx(other)
-        if _EAGER_ORDER:
-            a, b = self.canonical(), other.canonical()
-            return Ciphertext(dispatch.mul_chunks(a.wt, b.wt), self.ctx)
-        out, jmajor, zp_a, zp_b = dispatch.mul_chunks_auto(self.wt, other.wt)
-        la = order.extend_with_pads(self.logical, self.chunks, zp_a)
-        lb = order.extend_with_pads(other.logical, other.chunks, zp_b)
-        tag = order.cross_logical(la, lb, self.chunks, other.chunks, jmajor=jmajor)
-        pad = int(out.shape[-1]) - self.chunks * other.chunks
-        return Ciphertext(out, self.ctx, tag, pad)
+        t1, t2 = self.chunks, other.chunks
+        with op_metrics().record(
+            "ct.mul", chunks_in=t1 + t2, chunks_out=t1 * t2,
+            bytes_moved=self.ctx.chunk_count_bytes(t1 + t2 + t1 * t2),
+        ):
+            if _EAGER_ORDER:
+                a, b = self.canonical(), other.canonical()
+                return Ciphertext(dispatch.mul_chunks(a.wt, b.wt), self.ctx)
+            out, jmajor, zp_a, zp_b = dispatch.mul_chunks_auto(self.wt, other.wt)
+            la = order.extend_with_pads(self.logical, self.chunks, zp_a)
+            lb = order.extend_with_pads(other.logical, other.chunks, zp_b)
+            tag = order.cross_logical(la, lb, self.chunks, other.chunks, jmajor=jmajor)
+            pad = int(out.shape[-1]) - self.chunks * other.chunks
+            return Ciphertext(out, self.ctx, tag, pad)
 
     def apply_permutation(self, p: Permutation) -> "Ciphertext":
         """Apply π per chunk (out bit i = in bit π[i]) via the Beneš
@@ -168,9 +186,13 @@ class Ciphertext:
         Chunk positions are untouched, so the order tag carries over."""
         if p.n != self.ctx.n:
             raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
-        return Ciphertext(
-            dispatch.permute(self.wt, p.benes_plan()), self.ctx, self.logical, self.pad
-        )
+        with op_metrics().record(
+            "ct.permute", chunks_in=self.chunks, chunks_out=self.chunks,
+            bytes_moved=self.ctx.chunk_count_bytes(2 * self.physical_chunks),
+        ):
+            return Ciphertext(
+                dispatch.permute(self.wt, p.benes_plan()), self.ctx, self.logical, self.pad
+            )
 
     # -- chunk order ---------------------------------------------------------
 

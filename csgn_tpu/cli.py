@@ -117,6 +117,13 @@ def cmd_timings(cfg: RunConfig) -> int:
     tk.start()
     sk.apply_permutation(perm)
     tk.stop_and_print()
+
+    # Per-op structured counters accumulated by the production path above
+    # (SURVEY.md §5 observability; reference has only the Timer prints).
+    from csgn_tpu.utils.metrics import op_metrics
+
+    print("\nper-op metrics (host dispatch wall time):")
+    print(op_metrics().format_table())
     return 0
 
 
@@ -138,11 +145,21 @@ def main(argv=None) -> int:
     p.add_argument("--d", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--config", type=str, default=None, help="JSON RunConfig path")
+    p.add_argument(
+        "--metrics", action="store_true",
+        help="print the per-op metrics table after the command",
+    )
     args = p.parse_args(argv)
     cfg = _load_config(args)
-    return {"demo": cmd_demo, "selftest": cmd_selftest, "timings": cmd_timings, "info": cmd_info}[
+    rc = {"demo": cmd_demo, "selftest": cmd_selftest, "timings": cmd_timings, "info": cmd_info}[
         args.command
     ](cfg)
+    if args.metrics:
+        from csgn_tpu.utils.metrics import op_metrics
+
+        print("\nper-op metrics (host dispatch wall time):")
+        print(op_metrics().format_table())
+    return rc
 
 
 if __name__ == "__main__":

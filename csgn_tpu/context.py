@@ -89,6 +89,21 @@ class Context:
         """Bytes of packed ciphertext payload for ``chunks`` chunks."""
         return chunks * self.words32 * 4
 
+    # -- parameter updates ----------------------------------------------------
+
+    def with_n(self, n: int) -> "Context":
+        """Functional analogue of the reference's mutating ``setN``
+        (src/Context.cpp:81-85): a NEW context with n replaced and every
+        derived quantity (s, words64, words32, bitlen, valid_mask)
+        recomputed.  Contexts here are frozen by design — mutating scheme
+        parameters under live ciphertexts is how the reference's dangling
+        context bugs arise (SURVEY.md §2b.1)."""
+        return dataclasses.replace(self, n=n)
+
+    def with_d(self, d: int) -> "Context":
+        """Functional analogue of the reference's ``setD`` (src/Context.cpp:87-91)."""
+        return dataclasses.replace(self, d=d)
+
     def __str__(self) -> str:
         # Reference `operator<<` format (src/Context.cpp:40-47).
         return f"N= {self.n}\nD= {self.d}\nS= {self.s}"

@@ -33,9 +33,13 @@ def matvec_f2(matrix: np.ndarray, cts: list[Ciphertext]) -> list[Ciphertext]:
         if ct.ctx != ctx:
             raise ValueError("context mismatch among inputs")
 
+    # Canonicalize once up front: a lazy-ordered input selected by many rows
+    # would otherwise pay its canonicalization gather once per row.
+    wts = [ct.canonical().wt for ct in cts]
+
     out = []
     for i in range(m.shape[0]):
-        sel = [cts[j].canonical().wt for j in range(m.shape[1]) if m[i, j] & 1]
+        sel = [wts[j] for j in range(m.shape[1]) if m[i, j] & 1]
         if not sel:
             raise ValueError(f"row {i} selects no inputs (no public zero encryption)")
         words = sel[0]

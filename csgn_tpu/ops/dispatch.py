@@ -9,8 +9,15 @@ import jax
 import jax.numpy as jnp
 
 from csgn_tpu.ops import core, kernels
+from csgn_tpu.utils.metrics import op_metrics
 
 __all__ = ["mul_chunks", "mul_chunks_auto", "mul_chunks_jmajor", "decrypt_parity"]
+
+
+def _path(name: str) -> None:
+    """Record which kernel served this shape (once per compilation when
+    called under a trace — see utils.metrics docstring)."""
+    op_metrics().count(f"dispatch.{name}")
 
 # XLA j-major concat beats the grouped kernel up to ~32 b-chunks (measured
 # crossover between t2=16 and t2=48; docs/performance.md).
@@ -58,9 +65,12 @@ def mul_chunks_jmajor(a: jax.Array, b: jax.Array) -> jax.Array:
     t2 = b.shape[-1]
     if jax.default_backend() == "tpu" and a.ndim == 2:
         if kernels.mul_pallas_supported(t2, t1, w):
+            _path("mul.jm_flat")
             return kernels.mul_chunks_pallas(b, a)
         if kernels.mul_tiled_supported(t2, t1, w):
+            _path("mul.jm_tiled")
             return kernels.mul_chunks_pallas_tiled(b, a)
+    _path("mul.jm_xla")
     return _jit_jmajor_xla()(a, b)
 
 
@@ -79,11 +89,15 @@ def mul_chunks(a: jax.Array, b: jax.Array) -> jax.Array:
     ):
         w = a.shape[0]
         if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul.flat")
             return kernels.mul_chunks_pallas(a, b)
         if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul.tiled")
             return kernels.mul_chunks_pallas_tiled(a, b)
         if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            _path("mul.grouped")
             return kernels.mul_chunks_pallas_grouped(a, b)
+    _path("mul.xla")
     return _jit_core_mul()(a, b)
 
 
@@ -111,29 +125,38 @@ def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, i
     ):
         w = a.shape[0]
         if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul.flat")
             return kernels.mul_chunks_pallas(a, b), False, 0, 0
         if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul.tiled")
             return kernels.mul_chunks_pallas_tiled(a, b), False, 0, 0
         if kernels.mul_pallas_supported(t2, t1, w):
+            _path("mul.jm_flat")
             return kernels.mul_chunks_pallas(b, a), True, 0, 0
         if kernels.mul_tiled_supported(t2, t1, w):
+            _path("mul.jm_tiled")
             return kernels.mul_chunks_pallas_tiled(b, a), True, 0, 0
         # Ragged kernel: stream the larger operand, zero-padded in-kernel.
         # For 5 <= t2 <= 32 the XLA j-major concat already runs at comparable
         # rates with no pad growth, so the ragged path only takes t2 outside
         # that band (measured crossovers: docs/performance.md).
         if kernels.mul_ragged_supported(t2) and t2 >= t1:
+            _path("mul.ragged")
             zp = kernels.ragged_padded(t2) - t2
             return kernels.mul_chunks_pallas_tiled_ragged(a, b), False, 0, zp
         if kernels.mul_ragged_supported(t1) and (
             1 < t2 <= _RAGGED_JM_SMALL_T2 or t2 > _JMAJOR_XLA_MAX_T2
         ):
+            _path("mul.jm_ragged")
             zp = kernels.ragged_padded(t1) - t1
             return kernels.mul_chunks_pallas_tiled_ragged(b, a), True, zp, 0
         if 1 < t2 <= _JMAJOR_XLA_MAX_T2:
+            _path("mul.jm_xla")
             return _jit_jmajor_xla()(a, b), True, 0, 0
         if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            _path("mul.grouped")
             return kernels.mul_chunks_pallas_grouped(a, b), False, 0, 0
+    _path("mul.xla")
     return _jit_core_mul()(a, b), False, 0, 0
 
 
@@ -148,5 +171,7 @@ def permute(words: jax.Array, plan) -> jax.Array:
     from csgn_tpu.ops import permute_benes as pb
 
     if jax.default_backend() == "tpu" and words.ndim == 2 and words.shape[-1] >= pb.BENES_PALLAS_MIN_C:
+        _path("permute.benes_pallas")
         return pb.apply_benes_pallas(words, plan)
+    _path("permute.benes_xla")
     return pb.apply_benes(words, plan)

@@ -9,8 +9,11 @@ into one pass, targeting pure write bandwidth.
 Randomness contract: NOT bit-reproducible against the threefry path (a
 different generator) — encryption is randomized, so only the invariants
 matter (tests check decrypt round-trip, canonical form, and the bit-0/bit-1
-secret-position invariants).  Seeding is per grid step (`seed + program_id`)
-so blocks draw independent streams.
+secret-position invariants).  Each grid step seeds the hardware PRNG with a
+murmur3-finalized hash of (seed, block id) plus the raw block id as a second
+seed word: sequential user seeds and sequential block ids land in unrelated
+hash buckets, so streams cannot collide the way raw `seed + program_id`
+seeding can (block b of seed s == block b-1 of seed s+1).
 
 Kernel-side gather workaround: Mosaic has no per-lane dynamic gather, so the
 random secret index r ∈ [0, d) selects its bit position via a static unroll
@@ -62,8 +65,17 @@ def encrypt_bits_pallas(
     mask_c = jnp.asarray(np.asarray(mask, dtype=np.uint32).reshape(w, 1))
     vm_c = jnp.asarray(np.asarray(valid_mask, dtype=np.uint32).reshape(w, 1))
 
+    seed_lo = int(seed) & 0xFFFFFFFF
+    seed_hi = (int(seed) >> 32) & 0xFFFFFFFF
+
     def kern(bits_ref, mask_ref, vm_ref, o_ref):
-        pltpu.prng_seed(seed + pl.program_id(0))
+        pid = pl.program_id(0).astype(jnp.uint32)
+        # murmur3 fmix32 over seed ^ golden-ratio-spread block id.
+        h = jnp.uint32(seed_lo) ^ (pid * jnp.uint32(0x9E3779B9)) ^ jnp.uint32(seed_hi)
+        h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
+        h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        pltpu.prng_seed(h, pid)
         words = pltpu.bitcast(pltpu.prng_random_bits((w, bb)), jnp.uint32)
         extra = pltpu.bitcast(pltpu.prng_random_bits((2, bb)), jnp.uint32)
         m = mask_ref[:]

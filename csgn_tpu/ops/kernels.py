@@ -47,6 +47,16 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _out_struct(shape, dtype, *operands) -> jax.ShapeDtypeStruct:
+    """Output aval whose varying-mesh-axes (vma) is the union of the
+    operands' — required for pallas_call inside shard_map (check_vma=True);
+    outside shard_map every vma is empty and this is a plain struct."""
+    vma = frozenset()
+    for o in operands:
+        vma |= getattr(jax.typeof(o), "vma", frozenset())
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 # ---------------------------------------------------------------------------
 # Multiply: chunk cross-product AND
 # ---------------------------------------------------------------------------
@@ -98,7 +108,7 @@ def mul_chunks_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
 
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((w, t1p * t2), jnp.uint32),
+        out_shape=_out_struct((w, t1p * t2), jnp.uint32, ag, b),
         grid=(t1p // bi,),
         in_specs=[
             pl.BlockSpec((1, w, bi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -182,7 +192,7 @@ def mul_chunks_pallas_grouped(
 
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((w, t1p * t2), jnp.uint32),
+        out_shape=_out_struct((w, t1p * t2), jnp.uint32, ap, b),
         grid=(t1p // gr,),
         in_specs=[
             pl.BlockSpec((w, gr), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -232,7 +242,7 @@ def mul_chunks_pallas_tiled(a: jax.Array, b: jax.Array) -> jax.Array:
 
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((w, t1 * t2), jnp.uint32),
+        out_shape=_out_struct((w, t1 * t2), jnp.uint32, ag, b),
         grid=(t2 // bt, t1),
         in_specs=[
             pl.BlockSpec((1, w, 1), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -307,7 +317,7 @@ def mul_chunks_pallas_tiled_ragged(a: jax.Array, b: jax.Array) -> jax.Array:
 
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((w, t1 * t2p), jnp.uint32),
+        out_shape=_out_struct((w, t1 * t2p), jnp.uint32, ag, b),
         grid=(t2p // bt, t1),
         in_specs=[
             pl.BlockSpec((1, w, 1), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -357,7 +367,7 @@ def decrypt_parity_pallas(words: jax.Array, mask: jax.Array, *, block_c: int = 4
 
     out = pl.pallas_call(
         _decrypt_kernel,
-        out_shape=jax.ShapeDtypeStruct((1,), jnp.int32),
+        out_shape=_out_struct((1,), jnp.int32, wp, mask),
         grid=(cp // bc,),
         in_specs=[
             pl.BlockSpec((w, bc), lambda i: (0, i), memory_space=pltpu.VMEM),

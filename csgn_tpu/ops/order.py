@@ -129,9 +129,15 @@ def canonicalize(
     if out_len is None:
         out_len = phys
     # Scatter physical positions at their logical slots; pads (-1) are routed
-    # to an out-of-bounds slot and dropped.
+    # to an out-of-bounds slot and dropped.  Slots never written (possible
+    # only with a corrupted tag — non-pad entries must be a permutation of
+    # [0, out_len)) keep the out-of-range sentinel and decode to all-ones
+    # columns, which fail canonical-form validation (`utils.checks`) instead
+    # of silently aliasing column 0.
     slots = jnp.where(logical >= 0, logical, jnp.int32(out_len))
-    inv = jnp.zeros((out_len,), jnp.int32).at[slots].set(
+    inv = jnp.full((out_len,), phys, jnp.int32).at[slots].set(
         _iota(phys), mode="drop"
     )
-    return jnp.take(words, inv, axis=-1)
+    import numpy as np
+
+    return jnp.take(words, inv, axis=-1, mode="fill", fill_value=np.uint32(0xFFFFFFFF))

@@ -246,9 +246,13 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 4096
         o_ref[:] = x
 
     interpret = jax.default_backend() != "tpu"
+    # vma propagation: required when called inside shard_map (check_vma).
+    vma = getattr(jax.typeof(x), "vma", frozenset()) | getattr(
+        jax.typeof(masks), "vma", frozenset()
+    )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((wp, cp), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((wp, cp), jnp.uint32, vma=vma),
         grid=(cp // bc,),
         in_specs=[
             pl.BlockSpec((n_stages, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),

@@ -31,8 +31,9 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from csgn_tpu.ops import core
+from csgn_tpu.ops import core, dispatch
 from csgn_tpu.parallel.mesh import CHUNK_AXIS
+from csgn_tpu.utils.metrics import op_metrics
 
 __all__ = [
     "sharded_mul_allgather",
@@ -61,14 +62,23 @@ def sharded_mul_allgather(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CH
 
     def local_fn(a_blk, b_blk):
         b_full = jax.lax.all_gather(b_blk, axis, axis=1, tiled=True)
-        return core.mul_chunks(a_blk, b_full)
+        # Size-aware dispatch: the per-device block runs the same Pallas
+        # kernels as the single-chip path (the XLA broadcast form is ~3x
+        # slower at scale — docs/performance.md).
+        return dispatch.mul_chunks(a_blk, b_full)
 
-    return jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis)),
-        out_specs=P(None, axis),
-    )(a, b)
+    t1, t2 = a.shape[-1], b.shape[-1]
+    with op_metrics().record(
+        "sharded.mul_allgather", chunks_in=t1 + t2, chunks_out=t1 * t2,
+        bytes_moved=(t1 + t2 + t1 * t2) * a.shape[-2] * 4,
+    ):
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)),
+            out_specs=P(None, axis),
+            check_vma=False,  # pallas interpret lowering lacks vma support
+        )(a, b)
 
 
 def sharded_mul_broadcast(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CHUNK_AXIS) -> jax.Array:
@@ -83,12 +93,18 @@ def sharded_mul_broadcast(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CH
     if a.shape[-1] % nd:
         raise ValueError(f"chunk count {a.shape[-1]} not divisible by mesh axis {nd}")
 
-    return jax.shard_map(
-        core.mul_chunks,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None, None)),
-        out_specs=P(None, axis),
-    )(a, b)
+    t1, t2 = a.shape[-1], b.shape[-1]
+    with op_metrics().record(
+        "sharded.mul_broadcast", chunks_in=t1 + t2, chunks_out=t1 * t2,
+        bytes_moved=(t1 + t2 + t1 * t2) * a.shape[-2] * 4,
+    ):
+        return jax.shard_map(
+            dispatch.mul_chunks,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, None)),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )(a, b)
 
 
 def sharded_mul_ring(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CHUNK_AXIS) -> jax.Array:
@@ -114,7 +130,7 @@ def sharded_mul_ring(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CHUNK_A
             b_cur, out = carry
             # b_cur currently holds the block that started on device (my - s).
             src = (my - s) % nd
-            blk_out = core.mul_chunks(a_blk, b_cur)            # [W, t1l*t2_blk]
+            blk_out = dispatch.mul_chunks(a_blk, b_cur)        # [W, t1l*t2_blk]
             # Scatter into out at j-offset src*t2_blk: out viewed [W, t1l, t2].
             out = jax.lax.dynamic_update_slice(
                 out.reshape(w, t1l, t2),
@@ -130,12 +146,17 @@ def sharded_mul_ring(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CHUNK_A
         _, out = jax.lax.fori_loop(0, nd, step, (b_blk, out0))
         return out
 
-    return jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None, axis)),
-        out_specs=P(None, axis),
-    )(a, b)
+    with op_metrics().record(
+        "sharded.mul_ring", chunks_in=a.shape[-1] + t2, chunks_out=a.shape[-1] * t2,
+        bytes_moved=(a.shape[-1] + t2 + a.shape[-1] * t2) * a.shape[-2] * 4,
+    ):
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis)),
+            out_specs=P(None, axis),
+            check_vma=False,  # pallas interpret lowering lacks vma support
+        )(a, b)
 
 
 def sharded_decrypt_parity(words: jax.Array, mask: jax.Array, mesh: Mesh, axis: str = CHUNK_AXIS) -> jax.Array:
@@ -149,13 +170,17 @@ def sharded_decrypt_parity(words: jax.Array, mask: jax.Array, mesh: Mesh, axis: 
         total = jax.lax.psum(local, axis)
         return (total & jnp.uint32(1)).reshape(1)
 
-    out = jax.shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(None, axis), P(None)),
-        out_specs=P(None),
-    )(words, mask)
-    return out[0]
+    with op_metrics().record(
+        "sharded.decrypt", chunks_in=words.shape[-1],
+        bytes_moved=words.shape[-1] * words.shape[-2] * 4,
+    ):
+        out = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None)),
+            out_specs=P(None),
+        )(words, mask)
+        return out[0]
 
 
 def sharded_encrypt_bits_invariant(

@@ -30,6 +30,7 @@ from csgn_tpu.context import Context
 from csgn_tpu.ops import core, dispatch
 from csgn_tpu.permutation import Permutation
 from csgn_tpu.plaintext import Plaintext
+from csgn_tpu.utils.metrics import op_metrics
 
 __all__ = ["SecretKey"]
 
@@ -76,6 +77,13 @@ class SecretKey:
         """Packed indicator of the secret positions: uint32[W], popcount d."""
         return self._mask
 
+    def size(self) -> int:
+        """Reference byte accounting (src/SecretKey.cpp:268-276): context
+        pointer + length field + one uint64 per secret index.  144 B at d=16,
+        matching the reference's printed size.  (The TPU-resident footprint
+        is `indices.nbytes + mask.nbytes` — the index and mask forms.)"""
+        return 8 + 8 + 8 * self.ctx.d
+
     # -- encryption ---------------------------------------------------------
 
     def encrypt(self, plaintext, rng: jax.Array) -> Ciphertext:
@@ -108,15 +116,20 @@ class SecretKey:
             )
         if engine != "threefry":
             raise ValueError(f"unknown encrypt engine {engine!r}")
-        return _encrypt_batch_jit(
-            rng,
-            jnp.asarray(bits),
-            jnp.asarray(self.indices),
-            jnp.asarray(self._mask),
-            jnp.asarray(self.ctx.valid_mask),
-            self.ctx.n,
-            self.ctx.d,
-        )
+        batch = int(jnp.asarray(bits).shape[0])
+        with op_metrics().record(
+            "key.encrypt", chunks_out=batch,
+            bytes_moved=self.ctx.chunk_count_bytes(batch),
+        ):
+            return _encrypt_batch_jit(
+                rng,
+                jnp.asarray(bits),
+                jnp.asarray(self.indices),
+                jnp.asarray(self._mask),
+                jnp.asarray(self.ctx.valid_mask),
+                self.ctx.n,
+                self.ctx.d,
+            )
 
     # -- decryption ---------------------------------------------------------
 
@@ -124,8 +137,12 @@ class SecretKey:
         """Decrypt any-length ciphertext: parity of per-chunk ANDs."""
         if ciphertext.ctx != self.ctx:
             raise ValueError("ciphertext context mismatch")
-        bit = dispatch.decrypt_parity(ciphertext.wt, jnp.asarray(self._mask))
-        return Plaintext(int(bit))
+        with op_metrics().record(
+            "key.decrypt", chunks_in=ciphertext.chunks,
+            bytes_moved=self.ctx.chunk_count_bytes(ciphertext.physical_chunks),
+        ):
+            bit = dispatch.decrypt_parity(ciphertext.wt, jnp.asarray(self._mask))
+            return Plaintext(int(bit))
 
     def decrypt_batch(self, words: jax.Array) -> jax.Array:
         """Decrypt a batch of fresh single-chunk ciphertexts uint32[W, batch]

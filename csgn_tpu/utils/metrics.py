@@ -1,9 +1,21 @@
 """Structured per-op metrics (SURVEY.md §5 observability target).
 
-The reference has pretty-printers and nothing else; here every tracked op
-records chunks in/out, payload bytes moved, and wall time, queryable as
-structured dicts (and renderable as a table).  `jax.profiler` traces can be
-layered on top via `trace()`.
+The reference has pretty-printers and nothing else; here every operator on
+the production path (`Ciphertext.__add__/__mul__/apply_permutation`,
+`SecretKey.encrypt_batch/decrypt`, the sharded collectives) records chunks
+in/out, payload bytes moved, and wall time, queryable as structured dicts
+(and renderable as a table — `python -m csgn_tpu.cli <cmd> --metrics`).
+
+Timing caveat: `seconds` is host-side dispatch wall time.  JAX dispatch is
+asynchronous, so for back-to-back ops this measures enqueue cost, not device
+time; derived GB/s is an *upper bound on visibility*, not a roofline claim.
+Device-honest rates come from `utils.timing.device_median_time` (used by the
+CLI timings command and bench.py).  `jax.profiler` traces can be layered on
+top via `trace()`.
+
+Kernel-path choices made inside traced code (ops.dispatch) are recorded with
+`count()` once per compilation — read them as "which kernel served this
+shape", not call volume.
 """
 
 from __future__ import annotations
@@ -49,6 +61,11 @@ class OpMetrics:
             s.chunks_out += chunks_out
             s.bytes_moved += bytes_moved
             s.seconds += time.perf_counter() - t0
+
+    def count(self, op: str, n: int = 1) -> None:
+        """Bump a bare call counter (no timing) — used for trace-time events
+        like dispatch path selection, which fire once per compilation."""
+        self._stats[op].calls += n
 
     def snapshot(self) -> dict[str, dict]:
         return {k: v.as_dict() for k, v in self._stats.items()}

@@ -53,3 +53,29 @@ def test_dispatch_matches_core(ctx):
     sk = SecretKey.generate(ctx, jax.random.key(9))
     m = jnp.asarray(sk.mask)
     assert int(dispatch.decrypt_parity(a, m)) == int(core.decrypt_parity(a, m))
+
+
+def test_pallas_mul_inside_shard_map(ctx):
+    """Pallas kernels must trace inside shard_map bodies (vma propagation):
+    the sharded multiply routes per-device blocks through them on TPU."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from csgn_tpu.ops import kernels
+    from csgn_tpu.parallel.mesh import chunk_mesh
+
+    rng = np.random.default_rng(5)
+    w = ctx.words32
+    a = jnp.asarray(rng.integers(0, 2**32, (w, 32), dtype=np.uint32) & ctx.valid_mask[:, None])
+    b = jnp.asarray(rng.integers(0, 2**32, (w, 128), dtype=np.uint32) & ctx.valid_mask[:, None])
+    mesh = chunk_mesh(8)
+
+    def local_fn(a_blk, b_blk):
+        b_full = jax.lax.all_gather(b_blk, "c", axis=1, tiled=True)
+        return kernels.mul_chunks_pallas(a_blk, b_full)
+
+    out = jax.shard_map(
+        local_fn, mesh=mesh, in_specs=(P(None, "c"), P(None, "c")),
+        out_specs=P(None, "c"), check_vma=False,
+    )(a, b)
+    assert np.array_equal(np.asarray(out), np.asarray(core.mul_chunks(a, b)))
