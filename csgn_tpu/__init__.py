@@ -13,7 +13,9 @@ Context, Plaintext, SecretKey, Ciphertext, Permutation.  `Library`/`Helper`/
 keys (`jax.random`), and timing lives in `csgn_tpu.utils.timing`.
 """
 
+from csgn_tpu.batch import CiphertextBatch
 from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.circuit import CtExpr, lift
 from csgn_tpu.config import RunConfig
 from csgn_tpu.context import Context
 from csgn_tpu.permutation import Permutation
@@ -30,7 +32,10 @@ __all__ = [
     "Plaintext",
     "SecretKey",
     "Ciphertext",
+    "CiphertextBatch",
     "Permutation",
+    "CtExpr",
+    "lift",
     "RunConfig",
     "__version__",
 ]

@@ -19,16 +19,12 @@ def _path(name: str) -> None:
     called under a trace — see utils.metrics docstring)."""
     op_metrics().count(f"dispatch.{name}")
 
-# XLA j-major concat beats the grouped kernel up to ~32 b-chunks (measured
-# crossover between t2=16 and t2=48; docs/performance.md).
+# XLA j-major concat serves the unaligned band only when BOTH operands are
+# too small for the ragged kernel (t1 < 2^14); measured crossover vs grouped
+# between t2=16 and t2=48 (docs/performance.md).
 _JMAJOR_XLA_MAX_T2 = 32
 # Grouped kernel beats XLA's canonical broadcast+reshape from ~8 b-chunks up.
 _GROUPED_MIN_T2 = 8
-# For 2 <= t2 <= 4 the ragged kernel (389 GB/s measured at t2=2) beats the
-# XLA j-major concat (149-183 GB/s); from 5-32 the concat reaches 183-325 GB/s
-# with no pad waste, and at t2 == 1 XLA's broadcast AND (225 GB/s) beats the
-# ragged kernel's shallow one-block grid (155 GB/s).
-_RAGGED_JM_SMALL_T2 = 4
 
 
 @functools.cache
@@ -46,7 +42,7 @@ def _jit_jmajor_xla():
     @jax.jit
     def jm(a, b):
         t2 = b.shape[-1]
-        return jnp.concatenate([a & b[:, j : j + 1] for j in range(t2)], axis=-1)
+        return jnp.concatenate([a & b[..., :, j : j + 1] for j in range(t2)], axis=-1)
 
     return jm
 
@@ -144,9 +140,11 @@ def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, i
             _path("mul.ragged")
             zp = kernels.ragged_padded(t2) - t2
             return kernels.mul_chunks_pallas_tiled_ragged(a, b), False, 0, zp
-        if kernels.mul_ragged_supported(t1) and (
-            1 < t2 <= _RAGGED_JM_SMALL_T2 or t2 > _JMAJOR_XLA_MAX_T2
-        ):
+        if kernels.mul_ragged_supported(t1):
+            # Streamed-a j-major serves the ENTIRE unaligned band once the
+            # accumulator is large: 268-567 GB/s for t2=1..16 at t1~2^20 vs
+            # 25-127 GB/s for the XLA j-major concat and 225 GB/s for XLA's
+            # t2=1 broadcast (chained-dispatch measurement, .tpuq/r2_job3).
             _path("mul.jm_ragged")
             zp = kernels.ragged_padded(t1) - t1
             return kernels.mul_chunks_pallas_tiled_ragged(b, a), True, zp, 0
@@ -158,6 +156,66 @@ def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, i
             return kernels.mul_chunks_pallas_grouped(a, b), False, 0, 0
     _path("mul.xla")
     return _jit_core_mul()(a, b), False, 0, 0
+
+
+def mul_chunks_batched(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:
+    """Batched `mul_chunks_auto`: [B,W,t1] x [B,W,t2] -> ([B,W,phys], jmajor,
+    zpad_a, zpad_b) — element i of the output is the cross product of the
+    operands' elements i, all elements sharing one physical chunk order.
+
+    The single-ciphertext Pallas kernels vectorize with `jax.vmap` (Pallas
+    prepends a batch grid dimension; per-step VMEM blocks are unchanged, so
+    eligibility is the per-element check).  The output-size threshold uses
+    the whole batch: dispatch overhead amortizes over B.
+    """
+    t1, t2 = a.shape[-1], b.shape[-1]
+    batch = a.shape[0]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 3
+        and batch * t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[-2]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul.b_flat")
+            return jax.vmap(kernels.mul_chunks_pallas)(a, b), False, 0, 0
+        if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul.b_tiled")
+            return jax.vmap(kernels.mul_chunks_pallas_tiled)(a, b), False, 0, 0
+        if kernels.mul_pallas_supported(t2, t1, w):
+            _path("mul.b_jm_flat")
+            return jax.vmap(kernels.mul_chunks_pallas)(b, a), True, 0, 0
+        if kernels.mul_tiled_supported(t2, t1, w):
+            _path("mul.b_jm_tiled")
+            return jax.vmap(kernels.mul_chunks_pallas_tiled)(b, a), True, 0, 0
+        if kernels.mul_ragged_supported(t2) and t2 >= t1:
+            _path("mul.b_ragged")
+            zp = kernels.ragged_padded(t2) - t2
+            return jax.vmap(kernels.mul_chunks_pallas_tiled_ragged)(a, b), False, 0, zp
+        if kernels.mul_ragged_supported(t1):
+            _path("mul.b_jm_ragged")
+            zp = kernels.ragged_padded(t1) - t1
+            return jax.vmap(kernels.mul_chunks_pallas_tiled_ragged)(b, a), True, zp, 0
+        if 1 < t2 <= _JMAJOR_XLA_MAX_T2:
+            _path("mul.b_jm_xla")
+            return _jit_jmajor_xla()(a, b), True, 0, 0
+    _path("mul.b_xla")
+    return _jit_core_mul()(a, b), False, 0, 0
+
+
+def permute_batched(words: jax.Array, plan) -> jax.Array:
+    """Beneš permutation over a batch [B, W, C]: one plan, every element."""
+    from csgn_tpu.ops import permute_benes as pb
+
+    if (
+        jax.default_backend() == "tpu"
+        and words.ndim == 3
+        and words.shape[0] * words.shape[-1] >= pb.BENES_PALLAS_MIN_C
+    ):
+        _path("permute.b_benes_pallas")
+        return jax.vmap(lambda x: pb.apply_benes_pallas(x, plan))(words)
+    _path("permute.b_benes_xla")
+    return pb.apply_benes(words, plan)
 
 
 def decrypt_parity(words: jax.Array, mask: jax.Array) -> jax.Array:

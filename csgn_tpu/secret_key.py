@@ -45,6 +45,11 @@ def _chunk_matches_jit(words, mask):
     return core.chunk_matches(words, mask)
 
 
+@jax.jit
+def _decrypt_parity_jit(words, mask):
+    return core.decrypt_parity(words, mask)
+
+
 class SecretKey:
     """d secret bit positions + packed mask; encrypt/decrypt entry points."""
 
@@ -144,9 +149,27 @@ class SecretKey:
             bit = dispatch.decrypt_parity(ciphertext.wt, jnp.asarray(self._mask))
             return Plaintext(int(bit))
 
-    def decrypt_batch(self, words: jax.Array) -> jax.Array:
-        """Decrypt a batch of fresh single-chunk ciphertexts uint32[W, batch]
-        -> bits uint32[batch].  (Parity of one chunk == its match bit.)"""
+    def decrypt_batch(self, words) -> jax.Array:
+        """Decrypt a batch of ciphertexts -> bits uint32[batch].
+
+        Accepts either fresh single-chunk batches ``uint32[W, batch]`` (parity
+        of one chunk == its match bit) or a `CiphertextBatch` / grown payload
+        ``uint32[batch, W, chunks]`` (per-element parity across chunks; pad
+        chunks never match, so lazy payloads decrypt directly).
+        """
+        from csgn_tpu.batch import CiphertextBatch
+
+        if isinstance(words, CiphertextBatch):
+            if words.ctx != self.ctx:
+                raise ValueError("ciphertext context mismatch")
+            words = words.wt
+        words = jnp.asarray(words)
+        if words.ndim == 3:
+            with op_metrics().record(
+                "key.decrypt_batch", chunks_in=words.shape[0] * words.shape[-1],
+                bytes_moved=words.size * 4,
+            ):
+                return _decrypt_parity_jit(words, jnp.asarray(self._mask))
         return _chunk_matches_jit(words, jnp.asarray(self._mask))
 
     def decrypt_product(self, cts: list[Ciphertext]) -> Plaintext:
@@ -162,6 +185,20 @@ class SecretKey:
             if acc == 0:
                 break
         return Plaintext(acc)
+
+    def decrypt_circuit(self, expr) -> Plaintext:
+        """Decrypt a +/* DAG of ciphertexts WITHOUT materializing it.
+
+        Dec is a ring homomorphism (reference src/SecretKey.cpp:126-146):
+        Dec(a+b) = Dec(a)^Dec(b), Dec(a*b) = Dec(a)&Dec(b).  Cost is
+        O(sum of distinct leaf chunks) — each leaf decrypts once (memoized),
+        bits fold through the DAG host-side.  Accepts a `circuit.CtExpr` or a
+        plain Ciphertext; generalizes `decrypt_product` to arbitrary DAGs
+        (e.g. 32-deep chains whose materialized form exceeds HBM).
+        """
+        from csgn_tpu.circuit import lift
+
+        return Plaintext(lift(expr).fold(lambda ct: int(self.decrypt(ct))))
 
     def recrypt(self, ciphertext: Ciphertext, rng: jax.Array) -> Ciphertext:
         """Key-side re-encryption: decrypt and produce a fresh 1-chunk

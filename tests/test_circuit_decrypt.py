@@ -1,0 +1,101 @@
+"""Compositional circuit decrypt: Dec folds through +/* DAGs without
+materializing products (reference semantics anchor src/SecretKey.cpp:126-146)."""
+
+import jax
+import numpy as np
+import pytest
+
+from csgn_tpu import Permutation, SecretKey, lift
+from csgn_tpu.circuit import CtExpr
+
+
+@pytest.fixture
+def setup(small_ctx, rng):
+    sk = SecretKey.generate(small_ctx, rng)
+    def enc(bit, i):
+        return sk.encrypt(bit, jax.random.fold_in(rng, i))
+    return sk, enc
+
+
+def test_expr_matches_materialized(setup):
+    sk, enc = setup
+    a, b, c = enc(1, 1), enc(0, 2), enc(1, 3)
+    e = (lift(a) + b) * c + a * c
+    m = e.materialize()
+    assert m.chunks == e.chunks == (1 + 1) * 1 + 1 * 1
+    assert int(sk.decrypt_circuit(e)) == int(sk.decrypt(m))
+    assert int(sk.decrypt_circuit(e)) == ((1 ^ 0) & 1) ^ (1 & 1)
+
+
+def test_shared_subexpression_decrypts_each_leaf_once(setup, monkeypatch):
+    sk, enc = setup
+    a, b = enc(1, 1), enc(1, 2)
+    shared = lift(a) * b
+    e = (shared + a) * (shared + b)   # true DAG: `shared` and leaves reused
+    calls = []
+    orig = SecretKey.decrypt
+    monkeypatch.setattr(SecretKey, "decrypt", lambda self, ct: calls.append(id(ct)) or orig(self, ct))
+    bit = int(sk.decrypt_circuit(e))
+    assert len(calls) == 2                      # one decrypt per distinct leaf
+    assert bit == int(sk.decrypt(e.materialize()))
+
+
+def test_deep_chain_beyond_hbm(setup):
+    """32-deep multiply chain of 2-chunk inputs: materialized = 2^32 chunks
+    (far beyond HBM); the circuit decrypts from 64 fresh leaf chunks."""
+    sk, enc = setup
+    cts = [enc(1, i) + enc(0, 100 + i) for i in range(32)]   # 2 chunks each
+    e = lift(cts[0])
+    for ct in cts[1:]:
+        e = e * ct
+    assert e.chunks == 2 ** 32
+    assert e.nbytes_materialized >= 4 * 16 * 2 ** 30  # 4x a v5e chip's HBM
+    assert int(sk.decrypt_circuit(e)) == 1
+    e0 = e * (enc(0, 999) + enc(1, 998) + enc(1, 997))  # xor in a 0 -> product 0... parity(0^1^1)=0
+    assert int(sk.decrypt_circuit(e0)) == 0
+
+
+def test_permutation_pushes_to_leaves(setup, small_ctx, rng):
+    sk, enc = setup
+    p = Permutation.random(small_ctx, jax.random.fold_in(rng, 7))
+    a, b = enc(1, 1), enc(1, 2)
+    e = (lift(a) * b + a).apply_permutation(p)
+    psk = sk.apply_permutation(p)
+    want = int(sk.decrypt((a * b + a)))
+    assert int(psk.decrypt_circuit(e)) == want
+    assert int(psk.decrypt(e.materialize())) == want
+
+
+def test_decrypt_circuit_accepts_plain_ciphertext(setup):
+    sk, enc = setup
+    c = enc(1, 1)
+    assert int(sk.decrypt_circuit(c)) == 1
+
+
+def test_lift_rejects_non_ciphertext():
+    with pytest.raises(TypeError):
+        lift(3)
+
+
+def test_fuzz_random_dags_vs_materialized(small_ctx, rng):
+    """Random +/* DAGs with node sharing: circuit decrypt == materialized
+    decrypt == plaintext circuit (differential fuzz, SURVEY §4c)."""
+    sk = SecretKey.generate(small_ctx, rng)
+    py_rng = np.random.default_rng(42)
+    for trial in range(12):
+        nodes: list[tuple[CtExpr, int]] = []
+        for i in range(4):
+            bit = int(py_rng.integers(0, 2))
+            ct = sk.encrypt(bit, jax.random.fold_in(rng, 1000 * trial + i))
+            nodes.append((lift(ct), bit))
+        for i in range(8):
+            (ea, pa), (eb, pb) = (nodes[py_rng.integers(0, len(nodes))] for _ in range(2))
+            if py_rng.integers(0, 2) or ea.chunks * eb.chunks > 4096:
+                nodes.append((ea + eb, pa ^ pb))
+            else:
+                nodes.append((ea * eb, pa & pb))
+        expr, want = nodes[-1]
+        got = int(sk.decrypt_circuit(expr))
+        assert got == want, f"trial {trial}: circuit {got} != plaintext {want}"
+        if expr.chunks <= 4096:
+            assert got == int(sk.decrypt(expr.materialize()))
