@@ -94,6 +94,14 @@ def main():
     assert np.array_equal(got, want), "mul kernel mismatch vs oracle"
     del got, want
 
+    # Full-size guard: first output tile at the measured shape (catches
+    # grid-indexing regressions the small-slice check cannot).  Output order
+    # is i-major, so out[:, :t2] must equal a-column-0 AND all of b.
+    head = np.asarray(jax.jit(lambda a, b: mul_fn(a, b)[:, :t2])(a, b))
+    want_head = np.asarray(core.mul_chunks(a[:, :1], b))
+    assert np.array_equal(head, want_head), "mul kernel mismatch at measured shape"
+    del head, want_head
+
     @jax.jit
     def mulK(a, b):
         outs = []
@@ -127,6 +135,76 @@ def main():
     dec_gbps = dec_chunks * w * 4 / t_dec / 1e9
     dec_us_per_chunk = t_dec * 1e6 / dec_chunks
     log(f"dec {dec_chunks}: {t_dec*1e3:.2f} ms  {dec_gbps:.0f} GB/s in  {dec_us_per_chunk*1e3:.4f} ns/chunk")
+
+    del big
+
+    # --- encrypt (stderr diagnostic row; regression guard for BENCH history).
+    # On TPU: the Pallas hardware-PRNG engine at its tuned block size.  On
+    # CPU: the threefry oracle at a small batch (the Pallas PRNG has no CPU
+    # lowering).
+    from csgn_tpu.context import Context as _C  # noqa: F401 (already imported)
+    from csgn_tpu.secret_key import SecretKey
+
+    sk = SecretKey.generate(ctx, jax.random.key(0))
+    enc_batch = 1 << 22 if on_tpu else 1 << 12
+    bits = jnp.asarray(rng.integers(0, 2, enc_batch, dtype=np.uint8))
+    if on_tpu:
+        from csgn_tpu.ops.encrypt_pallas import encrypt_bits_pallas
+
+        @jax.jit
+        def encK(bits):
+            outs = []
+            for k in range(K):
+                o = encrypt_bits_pallas(
+                    1234 + k, bits, sk.indices, sk.mask, ctx.valid_mask, ctx.n, ctx.d
+                )
+                outs.append(o[0, 0])
+            return jnp.stack(outs)
+    else:
+
+        @jax.jit
+        def encK(bits):
+            o = core.encrypt_bits(jax.random.key(5), bits, jnp.asarray(sk.indices),
+                                  jnp.asarray(sk.mask), jnp.asarray(ctx.valid_mask),
+                                  ctx.n, ctx.d)
+            return o[0, 0][None]
+
+        # amplification=1 on CPU; adjust divisor below via enc_k.
+    enc_k = K if on_tpu else 1
+    t_enc = max((median_scalar_time(lambda: np.asarray(encK(bits))) - rtt) / enc_k, 1e-9)
+    log(f"enc {enc_batch}: {t_enc*1e3:.2f} ms  {enc_batch/t_enc/1e9:.2f} B enc/s  "
+        f"{enc_batch*w*4/t_enc/1e9:.0f} GB/s write")
+
+    # --- permutation (stderr diagnostic row): fused Beneš on packed chunks.
+    from csgn_tpu.ops import permute_benes
+
+    perm = rng.permutation(ctx.n)
+    plan = permute_benes.build_plan(perm, ctx.n)
+    pc = 1 << 20 if on_tpu else 1 << 12
+    px = jnp.asarray(rng.integers(0, 2**32, (w, pc), dtype=np.uint32) & ctx.valid_mask[:, None])
+    papply = (
+        (lambda x: permute_benes.apply_benes_pallas(x, plan))
+        if on_tpu
+        else (lambda x: permute_benes.apply_benes(x, plan))
+    )
+
+    small_in = px[:, :256]
+    assert np.array_equal(
+        np.asarray(jax.jit(papply)(small_in)),
+        np.asarray(core.permute_chunks(small_in, jnp.asarray(perm), ctx.n)),
+    ), "permute kernel mismatch vs oracle"
+
+    @jax.jit
+    def permK(x):
+        def step(y, _):
+            y = papply(y)
+            return y, y[0, 0]
+        _, ps = jax.lax.scan(step, x, None, length=K)
+        return ps
+
+    t_perm = max((median_scalar_time(lambda: np.asarray(permK(px))) - rtt) / K, 1e-9)
+    perm_gbps = pc * w * 4 / t_perm / 1e9
+    log(f"perm {pc}: {t_perm*1e3:.2f} ms  {perm_gbps:.0f} GB/s packed")
 
     # --- headline: combined mul+dec throughput per chunk vs reference C++.
     ours_us_per_chunk = mul_us_per_chunk + dec_us_per_chunk

@@ -20,6 +20,7 @@ from csgn_tpu.parallel.ops import (
     sharded_mul_allgather,
     sharded_mul_broadcast,
     sharded_mul_ring,
+    sharded_permute,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "sharded_encrypt_bits_invariant",
     "sharded_decrypt_parity",
     "sharded_encrypt_bits",
+    "sharded_permute",
 ]

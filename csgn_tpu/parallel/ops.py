@@ -42,6 +42,7 @@ __all__ = [
     "sharded_decrypt_parity",
     "sharded_encrypt_bits",
     "sharded_encrypt_bits_invariant",
+    "sharded_permute",
 ]
 
 
@@ -181,6 +182,34 @@ def sharded_decrypt_parity(words: jax.Array, mask: jax.Array, mesh: Mesh, axis: 
             out_specs=P(None),
         )(words, mask)
         return out[0]
+
+
+def sharded_permute(words: jax.Array, plan, mesh: Mesh, axis: str = CHUNK_AXIS) -> jax.Array:
+    """Chunk-sharded permutation: apply one Beneš plan to every local block.
+
+    Bit routing is per-chunk (reference src/Ciphertext.cpp:24-69 applies the
+    permutation chunk by chunk), so the chunk axis is embarrassingly
+    parallel: each device runs the fused kernel on its block — zero
+    collectives, and the output keeps the input sharding.
+    """
+    nd = _n_axis(mesh, axis)
+    if words.shape[-1] % nd:
+        raise ValueError(f"chunk count {words.shape[-1]} not divisible by mesh axis {nd}")
+
+    def local_fn(w_blk):
+        return dispatch.permute(w_blk, plan)
+
+    with op_metrics().record(
+        "sharded.permute", chunks_in=words.shape[-1], chunks_out=words.shape[-1],
+        bytes_moved=2 * words.shape[-1] * words.shape[-2] * 4,
+    ):
+        return jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis),),
+            out_specs=P(None, axis),
+            check_vma=False,
+        )(words)
 
 
 def sharded_encrypt_bits_invariant(
