@@ -109,16 +109,51 @@ def _pack_mask(mask: np.ndarray, wp: int) -> np.ndarray:
 
 @dataclasses.dataclass(frozen=True)
 class BenesPlan:
-    """Precomputed routing for one permutation: per-stage (delta, packed mask)."""
+    """Precomputed routing for one permutation: per-stage (delta, packed mask).
+
+    `rows` is the number of leading word-rows each stage must process (a
+    multiple of 8, ≤ words_pad): payload bits enter the padded network in the
+    first ceil(n/32) words and can only spread by the stage's word radius per
+    cross-word stage (symmetrically contracting toward the output).  Mask
+    bits outside the payload reach are zeroed at build time — those switches
+    only ever exchanged zero padding, so dropping them is value-neutral and
+    lets the kernel skip the dead sublanes (a ~25% op-count cut at n=1247,
+    where only 39 of 64 padded words carry payload at the network edges).
+    """
 
     n: int                      # logical bit count
     n_pad: int                  # power-of-two network size
     deltas: tuple[int, ...]
     masks: np.ndarray           # uint32[stages, n_pad/32]
+    rows: tuple[int, ...] = ()  # per-stage processed row count (8-aligned)
 
     @property
     def words_pad(self) -> int:
         return self.n_pad // 32
+
+
+def _payload_rows(n: int, n_pad: int, deltas: tuple[int, ...]) -> tuple[np.ndarray, np.ndarray]:
+    """Per-stage payload-row bounds.
+
+    Returns (pb, rows): pb[s] = bound on word-rows that may hold payload
+    BEFORE stage s (mask rows ≥ pb[s] are value-neutral and get zeroed);
+    rows[s] = 8-aligned row count the kernel must process (pb + roll radius).
+    """
+    wp = n_pad // 32
+    w_pay = -(-n // 32)
+    s_cnt = len(deltas)
+    radii = [0 if d < 32 else d // 32 for d in deltas]
+    fwd = np.empty(s_cnt + 1, np.int64)
+    fwd[0] = w_pay
+    for s, r in enumerate(radii):
+        fwd[s + 1] = min(wp, fwd[s] + r)
+    bwd = np.empty(s_cnt + 1, np.int64)
+    bwd[s_cnt] = w_pay
+    for s in range(s_cnt - 1, -1, -1):
+        bwd[s] = min(wp, bwd[s + 1] + radii[s])
+    pb = np.minimum(fwd[:-1], bwd[:-1])
+    rows = np.minimum(wp, -(-(pb + radii) // 8) * 8)
+    return pb, rows
 
 
 def build_plan(perm: np.ndarray, n: int) -> BenesPlan:
@@ -130,7 +165,11 @@ def build_plan(perm: np.ndarray, n: int) -> BenesPlan:
     wp = n_pad // 32
     deltas = tuple(int(d) for d, _ in stages)
     masks = np.stack([_pack_mask(m, wp) for _, m in stages])
-    return BenesPlan(n=n, n_pad=n_pad, deltas=deltas, masks=masks)
+    pb, rows = _payload_rows(n, n_pad, deltas)
+    for s in range(len(deltas)):
+        masks[s, pb[s]:] = 0  # value-neutral switches beyond payload reach
+    return BenesPlan(n=n, n_pad=n_pad, deltas=deltas, masks=masks,
+                     rows=tuple(int(r) for r in rows))
 
 
 def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
@@ -208,15 +247,19 @@ def apply_benes_batch(words: jax.Array, deltas: tuple[int, ...], masks: jax.Arra
 # ---------------------------------------------------------------------------
 
 
-def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 4096) -> jax.Array:
+def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048) -> jax.Array:
     """Fused Beneš on TPU: uint32[W, C] -> same, all 2m-1 stages applied while
     each chunk block sits in VMEM.
 
     The XLA path materializes every stage to HBM (21 round trips); this
-    kernel reads and writes each chunk once and is VPU-compute-bound
-    (~105 elementwise ops/element).  Measured at C=2^20: 3.0 ms vs 44 ms XLA
-    (docs/performance.md).  Requires C % block_c == 0 padding, handled here;
-    zero-pad chunks permute to zero (canonical).
+    kernel reads and writes each chunk once and is VPU-compute-bound, so each
+    stage runs only on the plan's live row window (`BenesPlan.rows`): at
+    n=1247 that cuts effective ops ~26% (1000 vs 1344 row-stages).  Measured
+    at C=2^20: ~1.5-1.9 ms, 90-115 GB/s packed (block_c=2048; the old
+    full-width kernel at block_c=4096 ran 45-56 GB/s — docs/performance.md
+    has the roofline argument: the VPU, not HBM, is the bound).  Requires
+    C % block_c == 0 padding, handled here; zero-pad chunks permute to zero
+    (canonical).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -230,20 +273,39 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 4096
     masks = jnp.asarray(plan.masks)
     deltas = plan.deltas
     n_stages = len(deltas)
+    # Per-stage live row window (see BenesPlan.rows): rows beyond it are
+    # provably zero, so each stage runs on a leading slice only.  Plans from
+    # older builds carry no rows; fall back to full-width stages.
+    rows = plan.rows if len(plan.rows) == n_stages else (wp,) * n_stages
+    live_in = min(wp, ((w + 7) // 8) * 8)  # 8-aligned cover of the input rows
 
     def kern(m_ref, x_ref, o_ref):
-        x = x_ref[:]
+        # rows[0] covers all payload rows; any extra input rows are zero
+        # padding (canonical form), so starting narrower is value-safe.
+        live = min(live_in, rows[0]) if n_stages else live_in
+        x = x_ref[0:live]
+        zeros_row = None
         for s, delta in enumerate(deltas):
-            m = m_ref[s].reshape(wp, 1)
+            rs = rows[s]
+            if rs > live:  # grow the window with known-zero rows
+                x = jnp.concatenate(
+                    [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
+                )
+            elif rs < live:  # rows beyond rs are provably zero: drop them
+                x = x[0:rs]
+            live = rs
+            m = m_ref[s].reshape(wp, 1)[0:rs]
             if delta < 32:
                 d = jnp.uint32(delta)
                 t = (x ^ (x << d)) & m
                 x = x ^ t ^ (t >> d)
             else:
                 r = delta // 32
-                t = (x ^ pltpu.roll(x, wp - r, axis=0)) & m
+                t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
                 x = x ^ t ^ pltpu.roll(t, r, axis=0)
-        o_ref[:] = x
+        o_ref[0:live] = x
+        if live < wp:
+            o_ref[live:wp] = jnp.zeros((wp - live, x.shape[1]), jnp.uint32)
 
     interpret = jax.default_backend() != "tpu"
     # vma propagation: required when called inside shard_map (check_vma).

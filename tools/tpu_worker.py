@@ -41,7 +41,17 @@ while True:
     if time.time() - last_work > IDLE_TIMEOUT_S:
         print("idle timeout; exiting to release the device claim", flush=True)
         break
-    jobs = sorted(p for p in Q.glob("*.py") if not p.with_suffix(".done").exists())
+    # Only pick up jobs that have been quiescent for a second: a submitter
+    # writing the file non-atomically (shell redirect, cross-fs mv) must not
+    # have a partial/empty file executed and marked .done out from under it.
+    now = time.time()
+    jobs = sorted(
+        p
+        for p in Q.glob("*.py")
+        if not p.with_suffix(".done").exists()
+        and p.stat().st_size > 0
+        and now - p.stat().st_mtime > 1.0
+    )
     if not jobs:
         time.sleep(0.5)
         continue
