@@ -142,7 +142,6 @@ def main():
     # On TPU: the Pallas hardware-PRNG engine at its tuned block size.  On
     # CPU: the threefry oracle at a small batch (the Pallas PRNG has no CPU
     # lowering).
-    from csgn_tpu.context import Context as _C  # noqa: F401 (already imported)
     from csgn_tpu.secret_key import SecretKey
 
     sk = SecretKey.generate(ctx, jax.random.key(0))

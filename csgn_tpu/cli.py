@@ -72,10 +72,15 @@ def cmd_selftest(cfg: RunConfig) -> int:
 
 
 def cmd_timings(cfg: RunConfig) -> int:
+    """Eight rows, mapping 1:1 onto reference tests/timings.cpp: keygen,
+    encrypt, fresh add, fresh multiply, permutation generation, permute
+    secret key, permute ciphertext, decrypt (permuted key + ciphertext) —
+    plus the reference's size lines.  Device rows are batch-amplified and
+    RTT-corrected (docs/performance.md methodology)."""
     import jax
     import jax.numpy as jnp
 
-    from csgn_tpu import Permutation, SecretKey
+    from csgn_tpu import Ciphertext, Permutation, SecretKey
     from csgn_tpu.utils.timing import Timer, device_median_time, measure_rtt
 
     ctx = cfg.context()
@@ -99,9 +104,10 @@ def cmd_timings(cfg: RunConfig) -> int:
     words = sk.encrypt_batch(bits, keys[1])
     from csgn_tpu.ops import core
 
-    dec_jit = jax.jit(core.decrypt_parity)
-    td = device_median_time(lambda: np.asarray(dec_jit(words, mask)), rtt=rtt)
-    print(f"decrypt {cfg.batch} chunks: {td*1e3:.3f} ms")
+    # Fresh addition (reference timings.cpp:34-37): chunk concatenation.
+    add_jit = jax.jit(core.add_chunks)
+    ta = device_median_time(lambda: np.asarray(add_jit(words, words)[0, 0]), rtt=rtt)
+    print(f"add {cfg.batch}+{cfg.batch} chunks: {ta*1e3:.3f} ms")
 
     mul_jit = jax.jit(core.mul_chunks)
     tm = device_median_time(lambda: np.asarray(mul_jit(words, words)[0, 0]), rtt=rtt)
@@ -115,8 +121,33 @@ def cmd_timings(cfg: RunConfig) -> int:
 
     tk = Timer("permute secret key")
     tk.start()
-    sk.apply_permutation(perm)
+    psk = sk.apply_permutation(perm)
     tk.stop_and_print()
+
+    # Permute the ciphertext (reference timings.cpp:56-60): Beneš plan over
+    # the whole batch of chunks (plan build is host-side, done once here).
+    from csgn_tpu.ops import dispatch
+
+    plan = perm.benes_plan()
+    tc = device_median_time(
+        lambda: np.asarray(dispatch.permute(words, plan)[0, 0]), rtt=rtt
+    )
+    print(f"permute ciphertext ({cfg.batch} chunks): {tc*1e3:.3f} ms")
+
+    # Decrypt with the permuted key over the permuted ciphertext
+    # (reference timings.cpp:62-66).
+    pwords = dispatch.permute(words, plan)
+    pmask = jnp.asarray(psk.mask)
+    dec_jit = jax.jit(core.decrypt_parity)
+    td = device_median_time(lambda: np.asarray(dec_jit(pwords, pmask)), rtt=rtt)
+    print(f"decrypt {cfg.batch} chunks (permuted key): {td*1e3:.3f} ms")
+
+    # Size lines (reference timings.cpp:69-72).
+    c1 = Ciphertext(words[:, :1], ctx)
+    print(f"\nSecret key size: {sk.size()} bytes")
+    print(f"Fresh ciphertext size: {c1.size()} bytes")
+    print(f"After multiplication ciphertext size: {(c1 * c1).size()} bytes")
+    print(f"After addition ciphertext size: {(c1 + c1).size()} bytes")
 
     # Per-op structured counters accumulated by the production path above
     # (SURVEY.md §5 observability; reference has only the Timer prints).

@@ -284,7 +284,6 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
         # padding (canonical form), so starting narrower is value-safe.
         live = min(live_in, rows[0]) if n_stages else live_in
         x = x_ref[0:live]
-        zeros_row = None
         for s, delta in enumerate(deltas):
             rs = rows[s]
             if rs > live:  # grow the window with known-zero rows

@@ -1,22 +1,30 @@
 """Fault injection for elastic recovery (SURVEY.md §5: "drop a host between
 steps").
 
-Phase 1: a 2-process jax.distributed job runs a multiply chain over the
-global 4-device mesh, checkpointing the accumulator after every completed
-step.  While step FAULT_STEP is in flight, the driver SIGKILLs worker 1
-(the exact child PID — a real host loss mid-collective); worker 0, stuck in
-the now-unanswerable collective, is torn down by the driver, like a job
-scheduler reaping a degraded job.
+Phase 1: an N-process jax.distributed job (``--nproc``, default 2; each
+process owns 2 local devices) runs a multiply chain over the global
+2N-device mesh, checkpointing the accumulator after every completed step.
+While step FAULT_STEP is in flight, the driver SIGKILLs the last worker
+(the exact child PID — a real host loss mid-collective); the survivors,
+stuck in the now-unanswerable collective, are torn down by the driver, like
+a job scheduler reaping a degraded job.
 
 Phase 2: a fresh SINGLE-process job (a different world: 2 local devices
-instead of 2x2) loads the last checkpoint, re-lays the chunk axis on its
+instead of N x 2) loads the last checkpoint, re-lays the chunk axis on its
 smaller mesh, completes the remaining steps, and decrypts.
 
 The final decrypt and product words must be bit-identical to an unsharded
 single-process oracle of the full chain — the checkpoint really is the
 recovery unit, and resume is mesh-shape-independent.
 
-Run: python tools/fault_demo.py            (driver; spawns workers)
+Determinism notes:
+  * the coordinator port is an ephemeral bind (port 0) passed to workers, so
+    concurrent runs never collide;
+  * the doomed worker holds the fault window open by waiting on a sentinel
+    file the driver never writes — only its SIGKILL (or a 300 s safety cap)
+    ends the wait, so the window cannot close early on a loaded host.
+
+Run: python tools/fault_demo.py [--nproc N]      (driver; spawns workers)
 """
 
 from __future__ import annotations
@@ -25,15 +33,14 @@ import argparse
 import os
 import pathlib
 import signal
+import socket
 import subprocess
 import sys
 import time
 
-PORT = 19741
-NPROC = 2
 LOCAL_DEVICES = 2
 N_STEPS = 3          # multiply steps in the chain
-FAULT_STEP = 2       # worker 1 dies while this step is in flight
+FAULT_STEP = 2       # the last worker dies while this step is in flight
 
 
 def _inputs():
@@ -59,12 +66,12 @@ def _inputs():
     return ctx, acc0, ops, sk
 
 
-def worker(pid: int, workdir: str) -> int:
+def worker(pid: int, workdir: str, port: int, nproc: int) -> int:
     import jax
 
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
-        num_processes=NPROC,
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
         process_id=pid,
     )
     import jax.numpy as jnp
@@ -80,13 +87,16 @@ def worker(pid: int, workdir: str) -> int:
 
     for step, op in enumerate(ops):
         if step == FAULT_STEP:
-            # Mark the step in flight so the driver can kill worker 1 while
-            # worker 0 sits inside the step's gather collective.  Worker 1
-            # lingers before joining it, giving the driver a deterministic
-            # window: the SIGKILL lands while its peer is mid-collective.
+            # Mark the step in flight so the driver can kill the last worker
+            # while its peers sit inside the step's collective.  The doomed
+            # worker waits on a sentinel the driver never writes: only the
+            # SIGKILL (or the safety cap) ends the wait, so the fault window
+            # is deterministic regardless of host load.
             (wd / f"inflight_{pid}").write_text(str(os.getpid()))
-            if pid == 1:
-                time.sleep(20)
+            if pid == nproc - 1:
+                cap = time.time() + 300
+                while not (wd / "release").exists() and time.time() < cap:
+                    time.sleep(0.1)
         acc = sharded_mul_broadcast(acc, op, mesh)  # chunks: 8 -> 16 -> 32 -> 64
         # Checkpoint the full accumulator (cross-process gather; every
         # process participates, rank 0 writes the file).
@@ -125,7 +135,7 @@ def resume(workdir: str) -> int:
     state = cio.load_state(wd / f"ckpt_step{last}.npz")
     ctx, acc0, ops, sk = _inputs()
 
-    mesh = chunk_mesh(len(jax.devices()))  # 2 devices now, was 4
+    mesh = chunk_mesh(len(jax.devices()))  # 2 devices now, was N x 2
     acc = shard_ciphertext(state["acc"], mesh).wt
     for op in ops[last + 1 :]:
         acc = sharded_mul_broadcast(acc, op, mesh)
@@ -153,15 +163,23 @@ def main() -> int:
     ap.add_argument("--worker", type=int, default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--workdir", type=str, default=None)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--nproc", type=int, default=2)
     args = ap.parse_args()
     if args.worker is not None:
-        return worker(args.worker, args.workdir)
+        return worker(args.worker, args.workdir, args.port, args.nproc)
     if args.resume:
         return resume(args.workdir)
 
     import tempfile
 
+    nproc = args.nproc
+    victim = nproc - 1
     wd = tempfile.mkdtemp(prefix="fault_demo_")
+    # Ephemeral coordinator port: bind 0, read the assignment, release it.
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
@@ -170,17 +188,19 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-             "--workdir", wd],
+             "--workdir", wd, "--port", str(port), "--nproc", str(nproc)],
             env=env,
         )
-        for i in range(NPROC)
+        for i in range(nproc)
     ]
     try:
-        # Wait until both workers are inside the FAULT_STEP collective.
+        # Wait until every worker has reached the fault step (the survivors
+        # then wedge inside the step's collective, whose last participant is
+        # parked on the sentinel wait).
         deadline = time.time() + 300
         while time.time() < deadline:
             if all(
-                (pathlib.Path(wd) / f"inflight_{i}").exists() for i in range(NPROC)
+                (pathlib.Path(wd) / f"inflight_{i}").exists() for i in range(nproc)
             ):
                 break
             if any(p.poll() is not None for p in procs):
@@ -191,17 +211,21 @@ def main() -> int:
             print("fault demo: FAIL (never reached the fault step)")
             return 1
 
-        time.sleep(0.5)  # let both sink into the collective
-        procs[1].send_signal(signal.SIGKILL)  # the injected host loss
-        procs[1].wait(timeout=30)
-        print(f"killed worker 1 (pid {procs[1].pid}) mid-step {FAULT_STEP}", flush=True)
+        time.sleep(0.5)  # let the survivors sink into the collective
+        procs[victim].send_signal(signal.SIGKILL)  # the injected host loss
+        procs[victim].wait(timeout=30)
+        print(f"killed worker {victim} of {nproc} (pid {procs[victim].pid}) "
+              f"mid-step {FAULT_STEP}", flush=True)
 
-        # Worker 0 is wedged in a collective whose peer is gone; reap it like
-        # a job scheduler tearing down the degraded job.
+        # Survivors are wedged in a collective whose peer is gone; reap them
+        # like a job scheduler tearing down the degraded job.
         time.sleep(1.0)
-        if procs[0].poll() is None:
-            procs[0].send_signal(signal.SIGKILL)
-        procs[0].wait(timeout=30)
+        for i in range(nproc):
+            if i != victim and procs[i].poll() is None:
+                procs[i].send_signal(signal.SIGKILL)
+        for i in range(nproc):
+            if i != victim:
+                procs[i].wait(timeout=30)
     finally:
         for p in procs:
             if p.poll() is None:

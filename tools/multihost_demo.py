@@ -1,33 +1,36 @@
 """True multi-process SPMD validation (the N>=2 "hosts" config, on CPU).
 
-Spawns N python processes, each a jax.distributed participant with its own
-local CPU devices; the sharded homomorphic ops then run over the GLOBAL mesh
-with cross-process collectives — the same program a real multi-host TPU pod
-runs, minus the ICI.  Verifies the sharded multiply + decrypt against the
-single-process oracle.
+Spawns N python processes (``--nproc``, default 2), each a jax.distributed
+participant with its own local CPU devices; the sharded homomorphic ops then
+run over the GLOBAL mesh with cross-process collectives — the same program a
+real multi-host TPU pod runs, minus the ICI.  At N=4 the ring/all-gather
+topologies exercise non-trivial fan-in that 2 processes cannot.  Verifies
+the sharded multiply + decrypt against the single-process oracle.
 
-Run: python tools/multihost_demo.py            (driver; spawns workers)
-     python tools/multihost_demo.py --worker i (internal)
+The coordinator port is an ephemeral bind (port 0) chosen by the driver, so
+concurrent runs (parallel pytest, a leftover worker) never collide.
+
+Run: python tools/multihost_demo.py [--nproc N]   (driver; spawns workers)
+     python tools/multihost_demo.py --worker i    (internal)
 """
 
 from __future__ import annotations
 
 import argparse
 import os
+import socket
 import subprocess
 import sys
 
-PORT = 19731
-NPROC = 2
 LOCAL_DEVICES = 2
 
 
-def worker(pid: int, t1: int = 16, t2: int = 8) -> int:
+def worker(pid: int, port: int, nproc: int, t1: int = 16, t2: int = 8) -> int:
     import jax
 
     jax.distributed.initialize(
-        coordinator_address=f"localhost:{PORT}",
-        num_processes=NPROC,
+        coordinator_address=f"localhost:{port}",
+        num_processes=nproc,
         process_id=pid,
     )
     import jax.numpy as jnp
@@ -47,7 +50,7 @@ def worker(pid: int, t1: int = 16, t2: int = 8) -> int:
     from csgn_tpu.secret_key import SecretKey
 
     ndev = len(jax.devices())
-    assert ndev == NPROC * LOCAL_DEVICES, f"global devices {ndev}"
+    assert ndev == nproc * LOCAL_DEVICES, f"global devices {ndev}"
     mesh = chunk_mesh(ndev)
 
     ctx = Context(1247, 16)
@@ -65,7 +68,7 @@ def worker(pid: int, t1: int = 16, t2: int = 8) -> int:
 
     want_prod = np.asarray(core.mul_chunks(a, b))
     want_parity = int(core.decrypt_parity(jnp.asarray(want_prod), mask))
-    # The product spans both processes; verify this process's local shards
+    # The product spans all processes; verify this process's local shards
     # against the matching slices of the single-process oracle.
     ok_words = all(
         np.array_equal(np.asarray(sh.data), want_prod[sh.index])
@@ -80,12 +83,17 @@ def worker(pid: int, t1: int = 16, t2: int = 8) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", type=int, default=None)
+    ap.add_argument("--port", type=int, default=None)
+    ap.add_argument("--nproc", type=int, default=2)
     ap.add_argument("--t1", type=int, default=16)
     ap.add_argument("--t2", type=int, default=8)
     args = ap.parse_args()
     if args.worker is not None:
-        return worker(args.worker, args.t1, args.t2)
+        return worker(args.worker, args.port, args.nproc, args.t1, args.t2)
 
+    with socket.socket() as s:  # ephemeral coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
@@ -94,10 +102,11 @@ def main() -> int:
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+             "--port", str(port), "--nproc", str(args.nproc),
              "--t1", str(args.t1), "--t2", str(args.t2)],
             env=env,
         )
-        for i in range(NPROC)
+        for i in range(args.nproc)
     ]
     rc = max(p.wait(timeout=600) for p in procs)
     print("multihost demo:", "OK" if rc == 0 else "FAIL")

@@ -44,14 +44,21 @@ while True:
     # Only pick up jobs that have been quiescent for a second: a submitter
     # writing the file non-atomically (shell redirect, cross-fs mv) must not
     # have a partial/empty file executed and marked .done out from under it.
+    # Stat once per candidate and tolerate the file vanishing between glob
+    # and stat (submitter rename/delete) — a raised OSError here would kill
+    # the worker loop and silently stall the queue.
     now = time.time()
-    jobs = sorted(
-        p
-        for p in Q.glob("*.py")
-        if not p.with_suffix(".done").exists()
-        and p.stat().st_size > 0
-        and now - p.stat().st_mtime > 1.0
-    )
+    jobs = []
+    for p in Q.glob("*.py"):
+        if p.with_suffix(".done").exists():
+            continue
+        try:
+            st = p.stat()
+        except OSError:
+            continue
+        if st.st_size > 0 and now - st.st_mtime > 1.0:
+            jobs.append(p)
+    jobs.sort()
     if not jobs:
         time.sleep(0.5)
         continue
