@@ -5,12 +5,23 @@ Prints ONE JSON line:
 
 Workload (BASELINE.md / BASELINE.json configs): Context(1247, 16),
 cross-product multiply (materialized output) and full-ciphertext decrypt.
+The headline path is the FUSED Pallas kernel (ops/kernels.py
+`mul_decrypt_pallas`): the decrypt parity accumulates in SMEM during the
+same pass that writes the product, so the pipeline pays one product write
+instead of write + read.  Staged mul and dec are also measured and reported
+to stderr as regression guards.
+
 The reference C++ baseline, measured in this environment (BASELINE.md):
   * multiply: 128x128 chunks -> 16384 out-chunks in 5.5 ms   (0.3357 us/chunk)
   * decrypt:  16384 chunks in 23.3 ms                        (1.4221 us/chunk)
-Ours is measured at saturation size (the remote-TPU tunnel has ~27 ms RTT, so
-per-op timing subtracts a measured RTT baseline and uses GB-scale workloads;
-methodology details in docs/performance.md).
+
+Measurement discipline (docs/performance.md): the remote-TPU tunnel has
+~27 ms dispatch RTT with ±2 ms jitter and on-chip rates drift run to run, so
+every metric is measured in G interleaved groups (fused/mul/dec/... cycled
+INSIDE each group, RTT re-measured per group), K ops amplified per dispatch,
+and the best group median is reported with the cross-group spread printed.
+A spread >10% on the headline metric triggers a loud stderr banner (the JSON
+line is still emitted — the driver needs a result either way).
 
 All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
@@ -26,20 +37,43 @@ import numpy as np
 REF_MUL_US_PER_CHUNK = 5.5e3 / 16384    # BASELINE.md: 128x128-chunk multiply
 REF_DEC_US_PER_CHUNK = 23.3e3 / 16384   # BASELINE.md: 16384-chunk decrypt
 
+GROUPS = 4        # interleaved measurement groups
+REPS = 5          # timed repetitions per metric per group
+K = 8             # ops amplified per dispatch (fold-proof; see below)
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def median_scalar_time(fetch, reps=7):
+def median_time(fetch, reps):
     """Median wall time of fetch() (a host-synchronizing scalar fetch)."""
-    fetch()  # warm (compile)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         fetch()
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[reps // 2]
+    return sorted(ts)[len(ts) // 2]
+
+
+def interleaved_measure(fetches: dict, groups=GROUPS, reps=REPS, rtt_fetch=None):
+    """Measure every metric in every group, cycling metrics INSIDE the group
+    (A/B/C/A/B/C...), re-measuring the RTT baseline per group.  Returns
+    {name: (best_seconds, spread_fraction, [per-group seconds])} where best
+    is the smallest RTT-corrected group median."""
+    for f in fetches.values():
+        f()  # warm / compile
+    per_group = {k: [] for k in fetches}
+    for g in range(groups):
+        rtt = median_time(rtt_fetch, 5) if rtt_fetch else 0.0
+        for name, f in fetches.items():
+            per_group[name].append(max(median_time(f, reps) - rtt, 1e-9))
+    out = {}
+    for name, ts in per_group.items():
+        best = min(ts)
+        spread = (max(ts) - best) / best
+        out[name] = (best, spread, ts)
+    return out
 
 
 def main():
@@ -60,8 +94,9 @@ def main():
     # RTT baseline: cost of a dispatch + 4-byte fetch with trivial compute.
     z = jnp.zeros((8,), jnp.uint32)
     triv = jax.jit(lambda z: z.sum())
-    rtt = median_scalar_time(lambda: np.asarray(triv(z)))
-    log(f"rtt={rtt*1e3:.2f} ms")
+    rtt_fetch = lambda: np.asarray(triv(z))  # noqa: E731
+    rtt0 = median_time(rtt_fetch, 7)
+    log(f"rtt={rtt0*1e3:.2f} ms (re-measured per group below)")
 
     # Sizes: saturation scale on TPU, small on CPU fallback.
     if on_tpu:
@@ -78,14 +113,14 @@ def main():
         mask_np[pos // 32] |= np.uint32(1) << (31 - pos % 32)
     mask = jnp.asarray(mask_np)
 
-    # Amplification factor: K ops per dispatch so tunnel RTT jitter (± ~2 ms)
-    # is small relative to the measured interval.  Pallas custom calls are
-    # opaque to XLA (no folding/elision while their outputs are consumed), and
-    # the decrypt scan chains each pass's mask on the previous parity so the
-    # K passes cannot be batched into one.
-    K = 8
+    # Amplification: K ops per dispatch so tunnel RTT jitter (± ~2 ms) is
+    # small relative to the measured interval.  Pallas custom calls are
+    # opaque to XLA (no folding/elision while their outputs are consumed);
+    # each of the K calls gets a distinct input (a ^ k).  The decrypt scan
+    # chains each pass's mask on the previous parity so the K passes cannot
+    # be batched into one.
 
-    # --- multiply (Pallas cross-product kernel; output materialized in HBM).
+    # --- staged multiply (Pallas cross-product kernel) + exactness guards.
     use_pallas = on_tpu and kernels.mul_pallas_supported(t1, t2, w)
     mul_fn = kernels.mul_chunks_pallas if use_pallas else core.mul_chunks
 
@@ -102,6 +137,19 @@ def main():
     assert np.array_equal(head, want_head), "mul kernel mismatch at measured shape"
     del head, want_head
 
+    # --- fused multiply+decrypt guards (same shape class as the staged mul).
+    fused_fn = (
+        (lambda a, b, m: kernels.mul_decrypt_pallas(a, b, m))
+        if use_pallas
+        else (lambda a, b, m: (core.mul_chunks(a, b), core.decrypt_parity(core.mul_chunks(a, b), m)))
+    )
+    fh, fp = jax.jit(lambda a, b: fused_fn(a, b, mask))(a[:, :4], b)
+    assert np.array_equal(np.asarray(fh)[:, :t2], np.asarray(core.mul_chunks(a[:, :4], b))[:, :t2])
+    assert int(fp) == int(core.decrypt_parity(core.mul_chunks(a[:, :4], b), mask)), (
+        "fused parity mismatch vs staged oracle"
+    )
+    del fh, fp
+
     @jax.jit
     def mulK(a, b):
         outs = []
@@ -110,12 +158,13 @@ def main():
             outs.append(o[0, 0])
         return jnp.stack(outs)
 
-    t_mul = max((median_scalar_time(lambda: np.asarray(mulK(a, b))) - rtt) / K, 1e-9)
-    out_chunks = t1 * t2
-    mul_gbps = out_chunks * w * 4 / t_mul / 1e9
-    mul_us_per_chunk = t_mul * 1e6 / out_chunks
-    log(f"mul {t1}x{t2}: {t_mul*1e3:.2f} ms  {mul_gbps:.0f} GB/s out  {mul_us_per_chunk*1e3:.4f} ns/chunk  pallas={use_pallas}")
-    del a, b
+    @jax.jit
+    def fusedK(a, b):
+        outs = []
+        for k in range(K):
+            o, p = fused_fn(a ^ jnp.uint32(k), b, mask)
+            outs.append(o[0, 0] ^ p)
+        return jnp.stack(outs)
 
     # --- decrypt (XLA eq-all + parity; input streamed from HBM).
     big = jnp.asarray(rng.integers(0, 2**32, (w, dec_chunks), dtype=np.uint32))
@@ -131,17 +180,50 @@ def main():
         _, ps = jax.lax.scan(step, jnp.uint32(0), None, length=K)
         return ps
 
-    t_dec = max((median_scalar_time(lambda: np.asarray(decK(big, mask))) - rtt) / K, 1e-9)
+    # --- interleaved measurement: fused / staged-mul / staged-dec per group.
+    res = interleaved_measure(
+        {
+            "fused": lambda: np.asarray(fusedK(a, b)),
+            "mul": lambda: np.asarray(mulK(a, b)),
+            "dec": lambda: np.asarray(decK(big, mask)),
+        },
+        rtt_fetch=rtt_fetch,
+    )
+    t_fused = res["fused"][0] / K
+    t_mul = res["mul"][0] / K
+    t_dec = res["dec"][0] / K
+
+    out_chunks = t1 * t2
+    mul_gbps = out_chunks * w * 4 / t_mul / 1e9
+    mul_us_per_chunk = t_mul * 1e6 / out_chunks
+    fused_gbps = out_chunks * w * 4 / t_fused / 1e9
+    fused_us_per_chunk = t_fused * 1e6 / out_chunks
     dec_gbps = dec_chunks * w * 4 / t_dec / 1e9
     dec_us_per_chunk = t_dec * 1e6 / dec_chunks
-    log(f"dec {dec_chunks}: {t_dec*1e3:.2f} ms  {dec_gbps:.0f} GB/s in  {dec_us_per_chunk*1e3:.4f} ns/chunk")
 
-    del big
+    for name, (best, spread, ts) in res.items():
+        log(f"{name}: best {best/K*1e3:.2f} ms  spread {spread*100:.1f}%  "
+            f"groups [{', '.join(f'{t/K*1e3:.2f}' for t in ts)}] ms")
+    log(f"fused mul+dec {t1}x{t2}: {t_fused*1e3:.2f} ms  {fused_gbps:.0f} GB/s out  "
+        f"{fused_us_per_chunk*1e3:.4f} ns/chunk  pallas={use_pallas}")
+    log(f"mul {t1}x{t2}: {t_mul*1e3:.2f} ms  {mul_gbps:.0f} GB/s out  "
+        f"{mul_us_per_chunk*1e3:.4f} ns/chunk")
+    log(f"dec {dec_chunks}: {t_dec*1e3:.2f} ms  {dec_gbps:.0f} GB/s in  "
+        f"{dec_us_per_chunk*1e3:.4f} ns/chunk")
+
+    headline_spread = res["fused"][1]
+    if headline_spread > 0.10:
+        log("=" * 72)
+        log(f"WARNING: headline spread {headline_spread*100:.1f}% > 10% across "
+            f"interleaved groups — tunnel/thermal variance is polluting this "
+            f"run; treat the JSON value as a lower bound and re-run.")
+        log("=" * 72)
+
+    del a, b, big
 
     # --- encrypt (stderr diagnostic row; regression guard for BENCH history).
     # On TPU: the Pallas hardware-PRNG engine at its tuned block size.  On
-    # CPU: the threefry oracle at a small batch (the Pallas PRNG has no CPU
-    # lowering).
+    # CPU: the threefry oracle at a small batch (no Pallas PRNG lowering).
     from csgn_tpu.secret_key import SecretKey
 
     sk = SecretKey.generate(ctx, jax.random.key(0))
@@ -168,11 +250,7 @@ def main():
                                   ctx.n, ctx.d)
             return o[0, 0][None]
 
-        # amplification=1 on CPU; adjust divisor below via enc_k.
     enc_k = K if on_tpu else 1
-    t_enc = max((median_scalar_time(lambda: np.asarray(encK(bits))) - rtt) / enc_k, 1e-9)
-    log(f"enc {enc_batch}: {t_enc*1e3:.2f} ms  {enc_batch/t_enc/1e9:.2f} B enc/s  "
-        f"{enc_batch*w*4/t_enc/1e9:.0f} GB/s write")
 
     # --- permutation (stderr diagnostic row): fused Beneš on packed chunks.
     from csgn_tpu.ops import permute_benes
@@ -203,12 +281,21 @@ def main():
             y = papply(y)
         return y[0, 0]
 
-    t_perm = max((median_scalar_time(lambda: np.asarray(permK(px))) - rtt) / K, 1e-9)
-    perm_gbps = pc * w * 4 / t_perm / 1e9
-    log(f"perm {pc}: {t_perm*1e3:.2f} ms  {perm_gbps:.0f} GB/s packed")
+    aux = interleaved_measure(
+        {"enc": lambda: np.asarray(encK(bits)), "perm": lambda: np.asarray(permK(px))},
+        groups=2, reps=3, rtt_fetch=rtt_fetch,
+    )
+    t_enc = aux["enc"][0] / enc_k
+    t_perm = aux["perm"][0] / K
+    log(f"enc {enc_batch}: {t_enc*1e3:.2f} ms  {enc_batch/t_enc/1e9:.2f} B enc/s  "
+        f"{enc_batch*w*4/t_enc/1e9:.0f} GB/s write  spread {aux['enc'][1]*100:.1f}%")
+    log(f"perm {pc}: {t_perm*1e3:.2f} ms  {pc*w*4/t_perm/1e9:.0f} GB/s packed  "
+        f"spread {aux['perm'][1]*100:.1f}%")
 
-    # --- headline: combined mul+dec throughput per chunk vs reference C++.
-    ours_us_per_chunk = mul_us_per_chunk + dec_us_per_chunk
+    # --- headline: fused mul+dec throughput per chunk vs reference C++.
+    # The workload is the reference's multiply-then-decrypt pipeline; ours
+    # fuses the two (one pass).  Staged rates are the stderr rows above.
+    ours_us_per_chunk = fused_us_per_chunk
     ref_us_per_chunk = REF_MUL_US_PER_CHUNK + REF_DEC_US_PER_CHUNK
     speedup = ref_us_per_chunk / ours_us_per_chunk
     value = 1.0 / ours_us_per_chunk  # chunk mul+dec ops per microsecond -> Mops/s

@@ -11,7 +11,13 @@ import jax.numpy as jnp
 from csgn_tpu.ops import core, kernels
 from csgn_tpu.utils.metrics import op_metrics
 
-__all__ = ["mul_chunks", "mul_chunks_auto", "mul_chunks_jmajor", "decrypt_parity"]
+__all__ = [
+    "mul_chunks",
+    "mul_chunks_auto",
+    "mul_chunks_jmajor",
+    "mul_decrypt",
+    "decrypt_parity",
+]
 
 
 def _path(name: str) -> None:
@@ -95,6 +101,43 @@ def mul_chunks(a: jax.Array, b: jax.Array) -> jax.Array:
             return kernels.mul_chunks_pallas_grouped(a, b)
     _path("mul.xla")
     return _jit_core_mul()(a, b)
+
+
+@functools.cache
+def _jit_core_mul_decrypt():
+    @jax.jit
+    def md(a, b, mask):
+        prod = core.mul_chunks(a, b)
+        return prod, core.decrypt_parity(prod, mask)
+
+    return md
+
+
+def mul_decrypt(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """Fused multiply + decrypt: ``(prod [W, t1*t2] i-major, parity bit)``.
+
+    The flagship pipeline op: on TPU the Pallas kernels accumulate the
+    product's decrypt parity in SMEM during the same pass that writes the
+    product, deleting the decrypt's full product read (mul+dec HBM traffic
+    drops 2x -> 1x; docs/performance.md).  Falls back to staged
+    mul->decrypt through XLA for shapes the fused kernels don't serve.
+    Bit-exact to `core.decrypt_parity(core.mul_chunks(a, b), mask)`.
+    """
+    t1, t2 = a.shape[-1], b.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 2
+        and t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[0]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul_dec.flat")
+            return kernels.mul_decrypt_pallas(a, b, mask)
+        if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul_dec.tiled")
+            return kernels.mul_decrypt_pallas_tiled(a, b, mask)
+    _path("mul_dec.xla")
+    return _jit_core_mul_decrypt()(a, b, mask)
 
 
 def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:

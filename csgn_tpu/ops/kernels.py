@@ -30,6 +30,8 @@ __all__ = [
     "mul_chunks_pallas_grouped",
     "mul_chunks_pallas_tiled",
     "mul_chunks_pallas_tiled_ragged",
+    "mul_decrypt_pallas",
+    "mul_decrypt_pallas_tiled",
     "decrypt_parity_pallas",
     "MUL_PALLAS_MIN_OUT",
 ]
@@ -120,6 +122,148 @@ def mul_chunks_pallas(a: jax.Array, b: jax.Array) -> jax.Array:
 
     # Padded a-columns land at the tail (i >= t1) of the i-major layout.
     return out[:, : t1 * t2] if t1p != t1 else out
+
+
+# ---------------------------------------------------------------------------
+# Fused multiply + decrypt: write the product AND accumulate its parity in
+# the same pass — deletes the decrypt's full product re-read from HBM.
+# ---------------------------------------------------------------------------
+
+# The flagship pipeline (multiply then decrypt, reference Ciphertext.cpp:153-163
+# followed by SecretKey.cpp:126-140) costs one product write + one product
+# read when staged.  The fused kernels below emit the decrypt parity as a
+# second (scalar) output of the multiply pass, so the pipeline's HBM traffic
+# drops from 2x|product| to 1x.
+#
+# In-kernel the parity accumulation is strength-reduced: a product column
+# (i, j) holds a_i & b_j, and
+#   ((a_i & b_j) & m) == m   <=>   (a_i & m) == m  AND  (b_j & m) == m
+# (every mask bit must be present in BOTH factors), so the block's match
+# count is (matching a-columns) * (matching b-columns) — a few hundred VPU
+# ops per grid step instead of 3 ops per output element.  This is bit-exactly
+# `core.decrypt_parity(core.mul_chunks(a, b), mask)`; tests and the on-chip
+# .tpuq sweep assert the equality against the staged oracle.
+
+
+def _fused_acc_update(acc_ref, av, bv, m):
+    """acc += (# a-columns matching m) * (# b-columns matching m)."""
+    ma = jnp.all((av & m) == m, axis=0)                  # (t1_blk,) bool
+    mb = jnp.all((bv & m) == m, axis=0)                  # (t2_blk,) bool
+    acc_ref[0] += jnp.sum(ma.astype(jnp.int32)) * jnp.sum(mb.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mul_decrypt_pallas(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """Fused `mul_chunks_pallas` + decrypt: returns (prod [W, t1*t2], parity).
+
+    Same blocking and output layout as `mul_chunks_pallas` (i-major flat
+    writes, b VMEM-resident, BI a-columns per step); the per-step match-count
+    product accumulates in SMEM and the final step emits the parity bit.
+    Padded a-columns are all-zero and never match (mask has >= 1 set bit
+    since d >= 1), so no pad correction is needed.
+    Requires `mul_pallas_supported(t1, t2, w)`.
+    """
+    w, t1 = a.shape
+    _, t2 = b.shape
+    bi = _pick_bi(t2, w)
+    t1p = _round_up(t1, bi)
+    ap = jnp.pad(a, ((0, 0), (0, t1p - t1))) if t1p != t1 else a
+    ag = ap.reshape(w, t1p // bi, bi).transpose(1, 0, 2)
+    mask_c = mask.reshape(w, 1)
+
+    def kern(a_ref, b_ref, m_ref, o_ref, p_ref, acc_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[0] = 0
+
+        av = a_ref[0]                        # (W, BI)
+        bv = b_ref[:]                        # (W, t2)
+        for ii in range(bi):
+            o_ref[:, ii * t2 : (ii + 1) * t2] = av[:, ii : ii + 1] & bv
+        _fused_acc_update(acc_ref, av, bv, m_ref[:])
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _():
+            p_ref[0] = acc_ref[0] & 1
+
+    prod, parity = pl.pallas_call(
+        kern,
+        out_shape=[
+            _out_struct((w, t1p * t2), jnp.uint32, ag, b),
+            _out_struct((1,), jnp.int32, ag, b, mask_c),
+        ],
+        grid=(t1p // bi,),
+        in_specs=[
+            pl.BlockSpec((1, w, bi), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, t2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((w, bi * t2), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_interpret(),
+    )(ag, b, mask_c)
+
+    if t1p != t1:
+        prod = prod[:, : t1 * t2]
+    return prod, parity[0].astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def mul_decrypt_pallas_tiled(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """Fused `mul_chunks_pallas_tiled` + decrypt (b streamed through VMEM).
+
+    Grid (b-tiles, a-columns) with b-tile outermost, as in the unfused tiled
+    kernel.  Each b-tile's match count is scaled by its a-column's match bit;
+    every (j, i) pair is visited exactly once, so the SMEM accumulator sees
+    each product column once.  Requires `mul_tiled_supported(t1, t2, w)`.
+    """
+    w, t1 = a.shape
+    _, t2 = b.shape
+    bt = _pick_bt(t2, w)
+    ag = a.T.reshape(t1, w, 1)
+    mask_c = mask.reshape(w, 1)
+
+    def kern(a_ref, b_ref, m_ref, o_ref, p_ref, acc_ref):
+        j, i = pl.program_id(0), pl.program_id(1)
+
+        @pl.when((j == 0) & (i == 0))
+        def _():
+            acc_ref[0] = 0
+
+        o_ref[:] = a_ref[0] & b_ref[:]                      # (W,1) & (W,BT)
+        _fused_acc_update(acc_ref, a_ref[0], b_ref[:], m_ref[:])
+
+        @pl.when((j == pl.num_programs(0) - 1) & (i == pl.num_programs(1) - 1))
+        def _():
+            p_ref[0] = acc_ref[0] & 1
+
+    prod, parity = pl.pallas_call(
+        kern,
+        out_shape=[
+            _out_struct((w, t1 * t2), jnp.uint32, ag, b),
+            _out_struct((1,), jnp.int32, ag, b, mask_c),
+        ],
+        grid=(t2 // bt, t1),
+        in_specs=[
+            pl.BlockSpec((1, w, 1), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (w, bt), lambda j, i: (0, i * (t2 // bt) + j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_interpret(),
+    )(ag, b, mask_c)
+    return prod, parity[0].astype(jnp.uint32)
 
 
 # ---------------------------------------------------------------------------

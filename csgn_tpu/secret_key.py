@@ -172,6 +172,31 @@ class SecretKey:
                 return _decrypt_parity_jit(words, jnp.asarray(self._mask))
         return _chunk_matches_jit(words, jnp.asarray(self._mask))
 
+    def mul_and_decrypt(self, c1: Ciphertext, c2: Ciphertext) -> tuple[Ciphertext, Plaintext]:
+        """Fused multiply + decrypt: ``(c1 * c2, Dec(c1 * c2))`` in ONE pass.
+
+        The flagship pipeline (reference Ciphertext.cpp:153-163 then
+        SecretKey.cpp:126-140) staged costs one product write plus one product
+        read; the fused Pallas kernel accumulates the decrypt parity while
+        writing the product, halving HBM traffic (ops/kernels.py
+        `mul_decrypt_pallas`).  Bit-exact to ``self.decrypt(c1 * c2)``; the
+        returned product is a normal Ciphertext (canonical relative to the
+        operands' physical order, with the combined order tag).
+        """
+        if c1.ctx != self.ctx or c2.ctx != self.ctx:
+            raise ValueError("ciphertext context mismatch")
+        from csgn_tpu.ops import order
+
+        t1, t2 = c1.chunks, c2.chunks
+        with op_metrics().record(
+            "key.mul_and_decrypt", chunks_in=t1 + t2, chunks_out=t1 * t2,
+            bytes_moved=self.ctx.chunk_count_bytes(t1 + t2 + t1 * t2),
+        ):
+            out, parity = dispatch.mul_decrypt(c1.wt, c2.wt, jnp.asarray(self._mask))
+            tag = order.cross_logical(c1.logical, c2.logical, t1, t2, jmajor=False)
+            pad = int(out.shape[-1]) - t1 * t2
+            return Ciphertext(out, self.ctx, tag, pad), Plaintext(int(parity))
+
     def decrypt_product(self, cts: list[Ciphertext]) -> Plaintext:
         """Decrypt a product WITHOUT materializing it: Dec(∏ cᵢ) = ∧ Dec(cᵢ).
 

@@ -13,7 +13,7 @@ def test_entry_compiles_and_runs():
 
     fn, args = g.entry()
     prod, parity = jax.jit(fn)(*args)
-    assert prod.shape == (40, 64 * 64)
+    assert prod.shape == (40, 128 * 128)
     assert int(parity) in (0, 1)
 
 
