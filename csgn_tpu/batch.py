@@ -180,6 +180,33 @@ class CiphertextBatch:
                 self.ctx, self.logical, self.pad,
             )
 
+    def apply_permutations(self, perms: list[Permutation]) -> "CiphertextBatch":
+        """Apply permutation i to batch element i (one per element).
+
+        The key-rotation-fleet pattern: B ciphertexts re-randomized under B
+        distinct transforms in one computation.  All plans share the delta
+        schedule (same n), so they stack into one mask tensor and run through
+        the fused Pallas kernel at scale (ops/permute_benes.py
+        `apply_benes_batch_pallas`); chunk positions are untouched, so the
+        shared order tag carries over.
+        """
+        if len(perms) != self.batch:
+            raise ValueError(f"need {self.batch} permutations, got {len(perms)}")
+        if any(p.n != self.ctx.n for p in perms):
+            raise ValueError(f"permutation length mismatch vs context n {self.ctx.n}")
+        from csgn_tpu.ops import permute_benes as pb
+
+        stacked = pb.stack_plans([p.benes_plan() for p in perms])
+        with op_metrics().record(
+            "batch.permute_multi", chunks_in=self.batch * self.chunks,
+            chunks_out=self.batch * self.chunks,
+            bytes_moved=2 * self.batch * self.ctx.chunk_count_bytes(self.physical_chunks),
+        ):
+            return CiphertextBatch(
+                dispatch.permute_batched_multi(self.wt, stacked),
+                self.ctx, self.logical, self.pad,
+            )
+
     # -- chunk order ------------------------------------------------------------
 
     def canonical(self) -> "CiphertextBatch":

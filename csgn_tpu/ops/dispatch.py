@@ -261,6 +261,24 @@ def permute_batched(words: jax.Array, plan) -> jax.Array:
     return pb.apply_benes(words, plan)
 
 
+def permute_batched_multi(words: jax.Array, stacked) -> jax.Array:
+    """k DIFFERENT permutations over k ciphertexts [k, W, C]: fused Pallas at
+    scale (plan i's masks selected by the batch grid index — the
+    key-rotation-fleet pattern at the single-plan fused rate), XLA stacked
+    delta-swaps otherwise."""
+    from csgn_tpu.ops import permute_benes as pb
+
+    if (
+        jax.default_backend() == "tpu"
+        and words.ndim == 3
+        and words.shape[0] * words.shape[-1] >= pb.BENES_PALLAS_MIN_C
+    ):
+        _path("permute.b_multi_pallas")
+        return pb.apply_benes_batch_pallas(words, stacked)
+    _path("permute.b_multi_xla")
+    return pb.apply_benes_batch(words, stacked)
+
+
 def decrypt_parity(words: jax.Array, mask: jax.Array) -> jax.Array:
     """XLA eq-all decrypt — measured at HBM speed-of-light already."""
     return _jit_core_decrypt()(words, mask)

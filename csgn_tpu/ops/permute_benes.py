@@ -29,9 +29,11 @@ import numpy as np
 
 __all__ = [
     "BenesPlan",
+    "StackedPlans",
     "build_plan",
     "apply_benes",
     "apply_benes_batch",
+    "apply_benes_batch_pallas",
     "apply_benes_pallas",
     "stack_plans",
     "BENES_PALLAS_MIN_C",
@@ -200,36 +202,60 @@ def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
     return x[..., :w, :]
 
 
-def stack_plans(plans: list[BenesPlan]) -> tuple[tuple[int, ...], np.ndarray]:
-    """Stack k same-size plans into (deltas, masks uint32[k, S, WP]).
+@dataclasses.dataclass(frozen=True)
+class StackedPlans:
+    """k same-size Beneš plans as one tensor: all networks on the same n_pad
+    share the delta schedule AND the live row windows (both derive from
+    (n, n_pad, deltas) only — see `_payload_rows`); only the per-stage masks
+    differ, so k permutations batch into ``masks uint32[k, S, WP]``."""
 
-    All Beneš networks on the same n_pad share the delta schedule; only the
-    stage masks differ, so k permutations batch into one mask tensor.
-    """
+    n: int
+    n_pad: int
+    deltas: tuple[int, ...]
+    masks: np.ndarray           # uint32[k, stages, n_pad/32]
+    rows: tuple[int, ...]
+
+    @property
+    def k(self) -> int:
+        return self.masks.shape[0]
+
+    @property
+    def words_pad(self) -> int:
+        return self.n_pad // 32
+
+
+def stack_plans(plans: list[BenesPlan]) -> StackedPlans:
+    """Stack k same-(n, n_pad) plans into a `StackedPlans`."""
     if not plans:
         raise ValueError("no plans")
-    n_pad = plans[0].n_pad
+    p0 = plans[0]
     for p in plans[1:]:
-        if p.n_pad != n_pad:
-            raise ValueError("plans must share n_pad")
-    return plans[0].deltas, np.stack([p.masks for p in plans])
+        if p.n_pad != p0.n_pad or p.n != p0.n:
+            raise ValueError("plans must share n and n_pad")
+    rows = p0.rows if len(p0.rows) == len(p0.deltas) else (p0.words_pad,) * len(p0.deltas)
+    return StackedPlans(
+        n=p0.n, n_pad=p0.n_pad, deltas=p0.deltas,
+        masks=np.stack([p.masks for p in plans]), rows=rows,
+    )
 
 
-def apply_benes_batch(words: jax.Array, deltas: tuple[int, ...], masks: jax.Array) -> jax.Array:
-    """Apply k DIFFERENT permutations to k ciphertexts in one computation.
+def apply_benes_batch(words: jax.Array, stacked: StackedPlans) -> jax.Array:
+    """Apply k DIFFERENT permutations to k ciphertexts in one computation
+    (XLA delta-swap path; each stage materializes to HBM).
 
-    words: uint32[k, W, C]; masks: uint32[k, S, WP] from `stack_plans`.
-    Batch element i gets permutation i — the key-rotation-fleet pattern
-    (e.g. re-randomizing many ciphertexts under distinct transforms at once).
+    words: uint32[k, W, C]; batch element i gets permutation i — the
+    key-rotation-fleet pattern (e.g. re-randomizing many ciphertexts under
+    distinct transforms at once).  `apply_benes_batch_pallas` is the fused
+    TPU path at scale.
     """
     k, w, c = words.shape
-    wp = masks.shape[-1]
+    wp = stacked.words_pad
     x = jnp.asarray(words).astype(jnp.uint32)
     if wp != w:
         x = jnp.pad(x, ((0, 0), (0, wp - w), (0, 0)))
-    m_all = jnp.asarray(masks)
+    m_all = jnp.asarray(stacked.masks)
 
-    for s, delta in enumerate(deltas):
+    for s, delta in enumerate(stacked.deltas):
         m = m_all[:, s, :, None]                      # [k, WP, 1]
         if delta < 32:
             d = jnp.uint32(delta)
@@ -240,6 +266,82 @@ def apply_benes_batch(words: jax.Array, deltas: tuple[int, ...], masks: jax.Arra
             t = (x ^ jnp.roll(x, -r, axis=-2)) & m
             x = x ^ t ^ jnp.roll(t, r, axis=-2)
     return x[:, :w, :]
+
+
+def apply_benes_batch_pallas(
+    words: jax.Array, stacked: StackedPlans, *, block_c: int = 2048
+) -> jax.Array:
+    """Fused k-permutation Beneš on TPU: uint32[k, W, C] -> same, plan i
+    applied to batch element i, all stages per VMEM-resident block.
+
+    Same structure as `apply_benes_pallas` with a leading batch grid
+    dimension: grid (k, C/block_c); each step loads element ik's chunk block
+    and plan ik's mask stack, runs all 2m-1 stages on the plan-shared live
+    row windows, and writes the block once — one HBM read+write per element
+    regardless of stage count, vs 2m-1 round trips for the XLA path.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    k, w, c = words.shape
+    wp = stacked.words_pad
+    bc = min(block_c, max(128, c))
+    cp = -(-c // bc) * bc
+    x = jnp.asarray(words).astype(jnp.uint32)
+    x = jnp.pad(x, ((0, 0), (0, wp - w), (0, cp - c)))
+    masks = jnp.asarray(stacked.masks)
+    deltas = stacked.deltas
+    n_stages = len(deltas)
+    rows = stacked.rows
+    live_in = min(wp, ((w + 7) // 8) * 8)
+
+    def kern(m_ref, x_ref, o_ref):
+        live = min(live_in, rows[0]) if n_stages else live_in
+        x = x_ref[0, 0:live]
+        for s, delta in enumerate(deltas):
+            rs = rows[s]
+            if rs > live:  # grow the window with known-zero rows
+                x = jnp.concatenate(
+                    [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
+                )
+            elif rs < live:  # rows beyond rs are provably zero: drop them
+                x = x[0:rs]
+            live = rs
+            m = m_ref[0, s].reshape(wp, 1)[0:rs]
+            if delta < 32:
+                d = jnp.uint32(delta)
+                t = (x ^ (x << d)) & m
+                x = x ^ t ^ (t >> d)
+            else:
+                r = delta // 32
+                t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
+                x = x ^ t ^ pltpu.roll(t, r, axis=0)
+        o_ref[0, 0:live] = x
+        if live < wp:
+            o_ref[0, live:wp] = jnp.zeros((wp - live, x.shape[1]), jnp.uint32)
+
+    interpret = jax.default_backend() != "tpu"
+    vma = getattr(jax.typeof(x), "vma", frozenset()) | getattr(
+        jax.typeof(masks), "vma", frozenset()
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((k, wp, cp), jnp.uint32, vma=vma),
+        grid=(k, cp // bc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, n_stages, wp), lambda ik, ic: (ik, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, wp, bc), lambda ik, ic: (ik, 0, ic), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, wp, bc), lambda ik, ic: (ik, 0, ic), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(masks, x)
+    return out[:, :w, :c]
 
 
 # ---------------------------------------------------------------------------

@@ -88,8 +88,15 @@ def test_pallas_fused_benes_matches(chunks):
 
 
 def test_apply_benes_batch_multi_permutation(ctx):
-    """k different permutations over k ciphertexts in one fused computation."""
-    from csgn_tpu.ops.permute_benes import apply_benes_batch, stack_plans
+    """k different permutations over k ciphertexts in one fused computation:
+    the XLA stacked path and the fused Pallas kernel (interpret mode here;
+    real-Mosaic sweep in the .tpuq validation job) must both match the
+    per-element gather oracle."""
+    from csgn_tpu.ops.permute_benes import (
+        apply_benes_batch,
+        apply_benes_batch_pallas,
+        stack_plans,
+    )
 
     rng = np.random.default_rng(77)
     k, chunks = 3, 6
@@ -98,12 +105,39 @@ def test_apply_benes_batch_multi_permutation(ctx):
         p = rng.permutation(ctx.n).astype(np.int32)
         perms.append(p)
         plans.append(build_plan(p, ctx.n))
-    deltas, masks = stack_plans(plans)
+    stacked = stack_plans(plans)
+    assert stacked.k == k and stacked.rows == plans[0].rows
     words = jnp.asarray(
         rng.integers(0, 2**32, (k, ctx.words32, chunks), dtype=np.uint32)
         & ctx.valid_mask[None, :, None]
     )
-    got = apply_benes_batch(words, deltas, jnp.asarray(masks))
+    got = apply_benes_batch(words, stacked)
+    got_pl = apply_benes_batch_pallas(words, stacked, block_c=128)
     for i in range(k):
         want = core.permute_chunks(words[i], jnp.asarray(perms[i]), ctx.n)
         np.testing.assert_array_equal(np.asarray(got[i]), np.asarray(want), err_msg=str(i))
+        np.testing.assert_array_equal(np.asarray(got_pl[i]), np.asarray(want), err_msg=str(i))
+
+
+def test_ciphertext_batch_apply_permutations(small_ctx):
+    """CiphertextBatch.apply_permutations: per-element plans end to end,
+    round-tripping under the per-element permuted secret keys."""
+    import jax
+
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.permutation import Permutation
+    from csgn_tpu.secret_key import SecretKey
+
+    rng = np.random.default_rng(5)
+    k = 4
+    sk = SecretKey.generate(small_ctx, jax.random.key(0))
+    bits = jnp.asarray(rng.integers(0, 2, k, dtype=np.uint8))
+    batch = CiphertextBatch.from_fresh(sk.encrypt_batch(bits, jax.random.key(1)), small_ctx)
+    perms = [Permutation.random(small_ctx, jax.random.key(10 + i)) for i in range(k)]
+
+    permuted = batch.apply_permutations(perms)
+    for i in range(k):
+        psk = sk.apply_permutation(perms[i])
+        assert int(psk.decrypt(permuted[i])) == int(bits[i]), i
+        want = core.permute_chunks(batch.wt[i], jnp.asarray(perms[i].perm), small_ctx.n)
+        np.testing.assert_array_equal(np.asarray(permuted.wt[i]), np.asarray(want))
