@@ -6,6 +6,13 @@ encryption batch axes shard over a `jax.sharding.Mesh`, with XLA collectives
 (all_gather / ppermute / psum) compiled over ICI.
 """
 
+from csgn_tpu.parallel.batch_ops import (
+    batch_chunk_mesh,
+    shard_batch,
+    sharded_decrypt_batch,
+    sharded_mul_batch,
+    sharded_permute_batch,
+)
 from csgn_tpu.parallel.mesh import chunk_mesh, make_mesh
 from csgn_tpu.parallel.multihost import (
     global_chunk_mesh,
@@ -26,6 +33,11 @@ from csgn_tpu.parallel.ops import (
 __all__ = [
     "make_mesh",
     "chunk_mesh",
+    "batch_chunk_mesh",
+    "shard_batch",
+    "sharded_mul_batch",
+    "sharded_decrypt_batch",
+    "sharded_permute_batch",
     "global_chunk_mesh",
     "initialize",
     "pad_chunks_to",
