@@ -34,6 +34,8 @@ __all__ = [
     "load_permutation",
     "save_state",
     "load_state",
+    "save_state_sharded",
+    "load_state_sharded",
 ]
 
 FORMAT_VERSION = 1
@@ -106,6 +108,162 @@ def save_state(path, objects: dict) -> None:
         else:
             raise TypeError(f"cannot checkpoint object of type {type(obj)}")
     np.savez(path, **arrays)
+
+
+# -- per-shard checkpoints ----------------------------------------------------
+#
+# `save_state` gathers every payload to one host array — fine for small
+# states, but a chunk-sharded 10^6-chunk product would funnel through a
+# single process, re-creating the memory bottleneck the chunk sharding
+# exists to avoid.  The sharded format is a directory:
+#
+#   manifest.json            — version + per-ciphertext block table
+#                              {name: {n, d, chunks, blocks: [[start, count,
+#                              file], ...]}}, written by process 0
+#   <name>.c<start>.npy      — chunk-major uint32[count, W] payload block,
+#                              written by the process that OWNS those chunks
+#   aux.npz                  — non-ciphertext objects (keys, permutations)
+#                              via `save_state`, written by process 0
+#
+# Every process writes only its addressable, replica-0 shards; no process
+# ever materializes the global array.  `load_state_sharded(dir, mesh=...)`
+# re-lays the chunk axis onto ANY mesh via `jax.make_array_from_callback`:
+# each process reads only the block ranges its new shards need (blocks are
+# .npy files, memory-mapped).  Reference has no serialization at all
+# (SURVEY.md §5); this is the multi-host half of the checkpoint story
+# (fault_demo exercises it end to end).
+
+MANIFEST = "manifest.json"
+
+
+def save_state_sharded(dirpath, objects: dict) -> None:
+    """Checkpoint {name: Ciphertext|SecretKey|Permutation} with ciphertext
+    payloads written per-shard by their owning processes.
+
+    Call from EVERY process of a multi-process job (like a collective); the
+    caller is responsible for a barrier afterwards if cross-process
+    visibility matters before proceeding (e.g. `sync_global_devices`).
+    Ciphertexts must be canonical (sharded production payloads are; a lazy
+    tag would need a gather to resolve, which this format exists to avoid).
+    """
+    import json
+    import pathlib
+
+    import jax
+
+    p = pathlib.Path(dirpath)
+    p.mkdir(parents=True, exist_ok=True)
+    proc = jax.process_index()
+
+    manifest: dict = {"version": FORMAT_VERSION, "entries": {}}
+    aux: dict = {}
+    for name, obj in objects.items():
+        if "/" in name:
+            raise ValueError(f"state name may not contain '/': {name!r}")
+        if not isinstance(obj, Ciphertext):
+            aux[name] = obj
+            continue
+        if not obj.is_canonical:
+            raise ValueError(
+                f"{name!r}: sharded checkpoint requires a canonical payload "
+                "(resolve the order tag before checkpointing)"
+            )
+        wt = obj.wt
+        w, c = wt.shape
+        blocks = []
+        if hasattr(wt, "addressable_shards") and hasattr(wt, "sharding"):
+            # Global block table from the sharding (host-independent), files
+            # from whichever process owns them.
+            seen = set()
+            for dev, index in wt.sharding.devices_indices_map((w, c)).items():
+                cols = index[-1]
+                start = cols.start or 0
+                stop = cols.stop if cols.stop is not None else c
+                if start in seen:
+                    continue  # replicated shard: one file
+                seen.add(start)
+                blocks.append([int(start), int(stop - start), f"{name}.c{start}.npy"])
+            for sh in wt.addressable_shards:
+                if sh.replica_id != 0:
+                    continue
+                start = sh.index[-1].start or 0
+                np.save(p / f"{name}.c{start}.npy",
+                        np.asarray(sh.data).T.astype(np.uint32))
+        else:
+            blocks.append([0, int(c), f"{name}.c0.npy"])
+            if proc == 0:
+                np.save(p / f"{name}.c0.npy", np.asarray(wt).T.astype(np.uint32))
+        blocks.sort()
+        manifest["entries"][name] = {
+            "n": obj.ctx.n, "d": obj.ctx.d, "chunks": int(c), "blocks": blocks,
+        }
+
+    if proc == 0:
+        if aux:
+            save_state(p / "aux.npz", aux)
+        (p / MANIFEST).write_text(json.dumps(manifest))
+
+
+def load_state_sharded(dirpath, mesh=None, axis: str = "c") -> dict:
+    """Load a `save_state_sharded` checkpoint.
+
+    With ``mesh``, every ciphertext payload comes back as a global jax.Array
+    sharded ``P(None, axis)`` over the mesh — each process reads ONLY the
+    block ranges its new shards cover (mesh shape need not match the one the
+    checkpoint was written on; chunk counts must divide the new axis size).
+    Without ``mesh``, payloads assemble to single-device arrays.
+    """
+    import json
+    import pathlib
+
+    import jax
+    import jax.numpy as jnp
+
+    p = pathlib.Path(dirpath)
+    manifest = json.loads((p / MANIFEST).read_text())
+    if manifest["version"] != FORMAT_VERSION:
+        raise ValueError(f"unsupported csgn checkpoint version {manifest['version']}")
+
+    out: dict = {}
+    if (p / "aux.npz").exists():
+        out.update(load_state(p / "aux.npz"))
+
+    for name, ent in manifest["entries"].items():
+        ctx = Context(int(ent["n"]), int(ent["d"]))
+        w, c = ctx.words32, int(ent["chunks"])
+        blocks = [(int(s), int(cnt), p / f) for s, cnt, f in ent["blocks"]]
+
+        def read_cols(col0: int, col1: int, _blocks=blocks, _w=w) -> np.ndarray:
+            """Assemble word-major [W, col1-col0] from overlapping blocks,
+            reading only the needed rows of each memory-mapped block file."""
+            parts = []
+            for start, cnt, f in _blocks:
+                lo, hi = max(col0, start), min(col1, start + cnt)
+                if lo >= hi:
+                    continue
+                blk = np.load(f, mmap_mode="r")
+                parts.append(np.ascontiguousarray(blk[lo - start : hi - start].T))
+            got = np.concatenate(parts, axis=1) if parts else np.zeros((_w, 0), np.uint32)
+            if got.shape[1] != col1 - col0:
+                raise ValueError(f"{name!r}: blocks do not cover [{col0}, {col1})")
+            return got
+
+        if mesh is None:
+            out[name] = Ciphertext(jnp.asarray(read_cols(0, c)), ctx)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(mesh, P(None, axis))
+
+            def cb(index, _c=c):
+                cols = index[-1]
+                start = cols.start or 0
+                stop = cols.stop if cols.stop is not None else _c
+                return read_cols(start, stop)
+
+            arr = jax.make_array_from_callback((w, c), sharding, cb)
+            out[name] = Ciphertext(arr, ctx)
+    return out
 
 
 def load_state(path) -> dict:

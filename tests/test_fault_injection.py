@@ -18,11 +18,14 @@ import pytest
 ROOT = pathlib.Path(__file__).parent.parent
 
 
-@pytest.mark.parametrize("nproc", [2, 4])
-def test_host_loss_mid_step_then_resume(nproc):
+@pytest.mark.parametrize("nproc,sharded", [(2, False), (4, False), (4, True)])
+def test_host_loss_mid_step_then_resume(nproc, sharded):
+    """sharded=True: checkpoints are written per-shard by each process
+    (save_state_sharded, no gather) and resumed onto the smaller mesh via
+    load_state_sharded — the pod-scale checkpoint path under a host loss."""
     proc = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "fault_demo.py"),
-         "--nproc", str(nproc)],
+         "--nproc", str(nproc)] + (["--sharded-ckpt"] if sharded else []),
         capture_output=True,
         text=True,
         timeout=600,

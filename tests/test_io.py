@@ -67,3 +67,66 @@ def test_reference_u64_interop(ctx, rng):
     assert w64.shape == (2 * ctx.words64,)
     back = Ciphertext.from_u64(w64, ctx)
     np.testing.assert_array_equal(np.asarray(back.wt), np.asarray(ct.wt))
+
+
+# -- per-shard checkpoints -----------------------------------------------------
+
+
+def test_sharded_checkpoint_reshard_roundtrip(tmp_path, ctx, rng):
+    """Save a chunk-sharded payload per-shard (8 devices), load onto meshes
+    of 4, 2, and 1 devices — bit-identical payload and decrypt each time."""
+    import jax.numpy as jnp
+
+    from csgn_tpu.parallel import chunk_mesh, shard_ciphertext
+
+    keys = jax.random.split(rng, 3)
+    sk = SecretKey.generate(ctx, keys[0])
+    words = np.random.default_rng(0).integers(
+        0, 2**32, (ctx.words32, 64), dtype=np.uint32
+    ).astype(np.uint32) & np.asarray(ctx.valid_mask)[:, None]
+    words[:, [3, 17, 40]] |= sk.mask[:, None]  # 3 matches -> parity 1
+    ct = shard_ciphertext(Ciphertext(jnp.asarray(words), ctx), chunk_mesh(8))
+
+    d = tmp_path / "ckpt_sharded"
+    cio.save_state_sharded(d, {"acc": ct, "sk": sk})
+    assert (d / "manifest.json").exists() and (d / "aux.npz").exists()
+    assert len(list(d.glob("acc.c*.npy"))) == 8  # one block per owning shard
+
+    for nd in (4, 2, 1):
+        state = cio.load_state_sharded(d, mesh=chunk_mesh(nd))
+        got = state["acc"]
+        assert {(s.index[-1].stop or 64) - (s.index[-1].start or 0)
+                for s in got.wt.addressable_shards} == {64 // nd}
+        np.testing.assert_array_equal(jax.device_get(got.wt), words)
+        assert int(state["sk"].decrypt(got)) == 1
+
+    # meshless load assembles the full payload on one device
+    state = cio.load_state_sharded(d)
+    np.testing.assert_array_equal(np.asarray(state["acc"].wt), words)
+
+
+def test_sharded_checkpoint_rejects_lazy_payload(tmp_path, ctx):
+    import jax.numpy as jnp
+    import pytest
+
+    words = jnp.zeros((ctx.words32, 4), jnp.uint32)
+    lazy = Ciphertext(words, ctx, jnp.asarray([3, 2, 1, 0], jnp.int32))
+    with pytest.raises(ValueError, match="canonical"):
+        cio.save_state_sharded(tmp_path / "x", {"bad": lazy})
+
+
+def test_sharded_checkpoint_unsharded_payload(tmp_path, small_ctx):
+    """A plain single-device ciphertext round-trips through the sharded
+    format too (one block)."""
+    import jax.numpy as jnp
+
+    from csgn_tpu.parallel import chunk_mesh
+
+    keys = jax.random.split(jax.random.key(4), 3)
+    sk = SecretKey.generate(small_ctx, keys[0])
+    ct = sk.encrypt(1, keys[1]) + sk.encrypt(1, keys[2])
+    d = tmp_path / "ckpt1"
+    cio.save_state_sharded(d, {"ct": ct, "sk": sk})
+    state = cio.load_state_sharded(d, mesh=chunk_mesh(2))
+    np.testing.assert_array_equal(jax.device_get(state["ct"].wt), np.asarray(ct.wt))
+    assert int(state["sk"].decrypt(state["ct"])) == 0  # 1 XOR 1

@@ -66,7 +66,7 @@ def _inputs():
     return ctx, acc0, ops, sk
 
 
-def worker(pid: int, workdir: str, port: int, nproc: int) -> int:
+def worker(pid: int, workdir: str, port: int, nproc: int, sharded_ckpt: bool = False) -> int:
     import jax
 
     jax.distributed.initialize(
@@ -98,20 +98,29 @@ def worker(pid: int, workdir: str, port: int, nproc: int) -> int:
                 while not (wd / "release").exists() and time.time() < cap:
                     time.sleep(0.1)
         acc = sharded_mul_broadcast(acc, op, mesh)  # chunks: 8 -> 16 -> 32 -> 64
-        # Checkpoint the full accumulator (cross-process gather; every
-        # process participates, rank 0 writes the file).
-        full = multihost_utils.process_allgather(acc, tiled=True)
-        if pid == 0:
-            cio.save_state(
-                wd / f"ckpt_step{step}.npz",
-                {"acc": Ciphertext(jnp.asarray(full), ctx), "sk": sk},
+        if sharded_ckpt:
+            # Per-shard checkpoint: every process writes ONLY its own chunk
+            # blocks — no gather, no process ever holds the global array.
+            cio.save_state_sharded(
+                wd / f"ckpt_step{step}", {"acc": Ciphertext(acc, ctx), "sk": sk}
             )
-            (wd / f"done_step{step}").write_text("ok")
+            multihost_utils.sync_global_devices(f"save{step}")  # all blocks on disk
+            if pid == 0:
+                (wd / f"done_step{step}").write_text("ok")
+        else:
+            # Gathered checkpoint (cross-process gather; rank 0 writes).
+            full = multihost_utils.process_allgather(acc, tiled=True)
+            if pid == 0:
+                cio.save_state(
+                    wd / f"ckpt_step{step}.npz",
+                    {"acc": Ciphertext(jnp.asarray(full), ctx), "sk": sk},
+                )
+                (wd / f"done_step{step}").write_text("ok")
         multihost_utils.sync_global_devices(f"step{step}")
     return 0
 
 
-def resume(workdir: str) -> int:
+def resume(workdir: str, sharded_ckpt: bool = False) -> int:
     """Phase 2: single process, 2 local devices, finish the chain."""
     import jax
     import jax.numpy as jnp
@@ -132,11 +141,16 @@ def resume(workdir: str) -> int:
     assert done, "no completed checkpoint found"
     last = done[-1]
     assert last < N_STEPS - 1, "fault did not interrupt the chain"
-    state = cio.load_state(wd / f"ckpt_step{last}.npz")
     ctx, acc0, ops, sk = _inputs()
-
     mesh = chunk_mesh(len(jax.devices()))  # 2 devices now, was N x 2
-    acc = shard_ciphertext(state["acc"], mesh).wt
+    if sharded_ckpt:
+        # Re-lay the per-shard blocks directly onto the new (smaller) mesh:
+        # each process reads only the block ranges its new shards cover.
+        state = cio.load_state_sharded(wd / f"ckpt_step{last}", mesh=mesh)
+        acc = state["acc"].wt
+    else:
+        state = cio.load_state(wd / f"ckpt_step{last}.npz")
+        acc = shard_ciphertext(state["acc"], mesh).wt
     for op in ops[last + 1 :]:
         acc = sharded_mul_broadcast(acc, op, mesh)
     parity = int(sharded_decrypt_parity(acc, jnp.asarray(state["sk"].mask), mesh))
@@ -165,11 +179,15 @@ def main() -> int:
     ap.add_argument("--workdir", type=str, default=None)
     ap.add_argument("--port", type=int, default=None)
     ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--sharded-ckpt", action="store_true",
+                    help="per-shard checkpoints (save_state_sharded) instead "
+                         "of the rank-0 gathered npz")
     args = ap.parse_args()
     if args.worker is not None:
-        return worker(args.worker, args.workdir, args.port, args.nproc)
+        return worker(args.worker, args.workdir, args.port, args.nproc,
+                      args.sharded_ckpt)
     if args.resume:
-        return resume(args.workdir)
+        return resume(args.workdir, args.sharded_ckpt)
 
     import tempfile
 
@@ -185,10 +203,12 @@ def main() -> int:
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+    extra = ["--sharded-ckpt"] if args.sharded_ckpt else []
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-             "--workdir", wd, "--port", str(port), "--nproc", str(nproc)],
+             "--workdir", wd, "--port", str(port), "--nproc", str(nproc)]
+            + extra,
             env=env,
         )
         for i in range(nproc)
@@ -240,7 +260,8 @@ def main() -> int:
         return 1
 
     r = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--resume", "--workdir", wd],
+        [sys.executable, os.path.abspath(__file__), "--resume", "--workdir", wd]
+        + extra,
         env=env,
         timeout=300,
     )
