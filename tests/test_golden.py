@@ -83,11 +83,14 @@ def test_add_mul_bit_exact(sc):
     bigger = big * added                      # 4x2 chunks
     np.testing.assert_array_equal(bigger.to_u64(), _words64(sc["bigger"]))
 
+    biggest = bigger * added                  # 8x2 = 16 chunks, 3 multiplies deep
+    np.testing.assert_array_equal(biggest.to_u64(), _words64(sc["biggest"]))
+
 
 def test_decrypt_bit_exact(sc):
     ctx = Context(sc["n"], sc["d"])
     sk = SecretKey(ctx, np.array(sc["key"], dtype=np.int32))
-    for name in ["c1", "c0", "added", "multiplied", "big", "bigger"]:
+    for name in ["c1", "c0", "added", "multiplied", "big", "bigger", "biggest"]:
         ct = _import_ct(sc, name, ctx)
         assert int(sk.decrypt(ct)) == sc["dec"][name], name
 
@@ -121,3 +124,27 @@ def test_permutation_bit_exact(sc):
     pc1 = c1.apply_permutation(p)
     np.testing.assert_array_equal(pc1.to_u64(), _words64(sc["permuted_c1"]))
     assert int(psk.decrypt(pc1)) == sc["dec"]["permuted_c1"]
+
+
+def test_composed_permutation_bit_exact(sc):
+    """Composition parity: our Permutation.__add__ must equal the reference's
+    operator+ routing, and the composed key/ciphertext transforms must match
+    the reference's dumped buffers (perm2 = fresh srand(perm_seed+17) stream)."""
+    ctx = Context(sc["n"], sc["d"])
+    p1 = Permutation(np.array(sc["perm"], dtype=np.int32))
+    p2 = Permutation(np.array(sc["perm2"], dtype=np.int32))
+    composed = p1 + p2
+    np.testing.assert_array_equal(composed.perm, np.array(sc["composed_perm"], dtype=np.int32))
+
+    sk = SecretKey(ctx, np.array(sc["key"], dtype=np.int32))
+    csk = sk.apply_permutation(composed)
+    np.testing.assert_array_equal(csk.indices, np.array(sc["composed_key"], dtype=np.int32))
+
+    c1 = _import_ct(sc, "c1", ctx)
+    cc1 = c1.apply_permutation(composed)
+    np.testing.assert_array_equal(cc1.to_u64(), _words64(sc["composed_c1"]))
+    assert int(csk.decrypt(cc1)) == sc["dec"]["composed_c1"]
+
+    # Composing stepwise (p1 then p2) must equal the composed transform.
+    step = c1.apply_permutation(p1).apply_permutation(p2)
+    np.testing.assert_array_equal(step.to_u64(), _words64(sc["composed_c1"]))

@@ -74,6 +74,7 @@ int main() {
     Ciphertext multiplied = c1 * c0;
     Ciphertext big = added * added;          // 2x2 = 4 chunks, i-major order
     Ciphertext bigger = big * added;         // 4x2 = 8 chunks
+    Ciphertext biggest = bigger * added;     // 8x2 = 16 chunks (3 multiplies deep)
 
     Plaintext dec_c1 = sk.decrypt(c1);
     Plaintext dec_c0 = sk.decrypt(c0);
@@ -81,6 +82,7 @@ int main() {
     Plaintext dec_mul = sk.decrypt(multiplied);
     Plaintext dec_big = sk.decrypt(big);
     Plaintext dec_bigger = sk.decrypt(bigger);
+    Plaintext dec_biggest = sk.decrypt(biggest);
 
     srand(sc.perm_seed);
     Permutation perm(ctx);
@@ -90,6 +92,15 @@ int main() {
 
     Permutation inv = perm.getInverse();
     Permutation ident = perm + inv;
+
+    // Composed permutation (reference operator+ composes routings): a second
+    // srand stream, composed = perm then perm2, applied to key and ciphertext.
+    srand(sc.perm_seed + 17u);
+    Permutation perm2(ctx);
+    Permutation composed = perm + perm2;
+    SecretKey csk = sk.applyPermutation(composed);
+    Ciphertext cc1 = c1.applyPermutation(composed);
+    Plaintext dec_comp = csk.decrypt(cc1);
 
     fprintf(f, "%s{\"n\":%llu,\"d\":%llu,\"key\":", si ? ",\n" : "",
             (unsigned long long)sc.n, (unsigned long long)sc.d);
@@ -102,17 +113,24 @@ int main() {
     fprintf(f, ",\"multiplied\":"); dump_words(f, multiplied);
     fprintf(f, ",\"big\":"); dump_words(f, big);
     fprintf(f, ",\"bigger\":"); dump_words(f, bigger);
+    fprintf(f, ",\"biggest\":"); dump_words(f, biggest);
     fprintf(f, ",\"dec\":{\"c1\":%d,\"c0\":%d,\"added\":%d,\"multiplied\":%d,"
-            "\"big\":%d,\"bigger\":%d,\"permuted_c1\":%d}",
+            "\"big\":%d,\"bigger\":%d,\"biggest\":%d,\"permuted_c1\":%d,"
+            "\"composed_c1\":%d}",
             (int)dec_c1.getValue(), (int)dec_c0.getValue(),
             (int)dec_add.getValue(), (int)dec_mul.getValue(),
             (int)dec_big.getValue(), (int)dec_bigger.getValue(),
-            (int)dec_perm.getValue());
+            (int)dec_biggest.getValue(), (int)dec_perm.getValue(),
+            (int)dec_comp.getValue());
     fprintf(f, ",\"perm\":"); dump_u64_array(f, perm.getPermutation(), perm.getLength());
     fprintf(f, ",\"inv_perm\":"); dump_u64_array(f, inv.getPermutation(), inv.getLength());
     fprintf(f, ",\"identity_check\":"); dump_u64_array(f, ident.getPermutation(), ident.getLength());
     fprintf(f, ",\"permuted_key\":"); dump_u64_array(f, psk.getKey(), psk.getLength());
     fprintf(f, ",\"permuted_c1\":"); dump_words(f, pc1);
+    fprintf(f, ",\"perm2\":"); dump_u64_array(f, perm2.getPermutation(), perm2.getLength());
+    fprintf(f, ",\"composed_perm\":"); dump_u64_array(f, composed.getPermutation(), composed.getLength());
+    fprintf(f, ",\"composed_key\":"); dump_u64_array(f, csk.getKey(), csk.getLength());
+    fprintf(f, ",\"composed_c1\":"); dump_words(f, cc1);
     fprintf(f, "}");
   }
   fprintf(f, "\n]}\n");
