@@ -6,6 +6,14 @@ random word.  This kernel uses the TPU's hardware PRNG
 (`pltpu.prng_random_bits`) and fuses generation + invariant fix-ups + store
 into one pass, targeting pure write bandwidth.
 
+Measured on chip (v5e, 2^22-bit batch, K=16 serial-chained amplification —
+.tpuq/enc_r3c): constant fill at this blocking 852 GB/s (write SOL); a
+PRNG-generate-and-store-only kernel 729 GB/s (the **PRNG roofline** — the
+two extra random rows cost nothing measurable); this kernel 712 GB/s =
+4.45 B enc/s at block_b=8192 (664 at 4096, 566 at 2048) — ~98% of the PRNG
+roofline, so the remaining lever is the hardware generator itself, not the
+invariant fix-ups.
+
 Randomness contract: NOT bit-reproducible against the threefry path (a
 different generator) — encryption is randomized, so only the invariants
 matter (tests check decrypt round-trip, canonical form, and the bit-0/bit-1
@@ -45,7 +53,7 @@ def encrypt_bits_pallas(
     n: int,
     d: int,
     *,
-    block_b: int = 4096,
+    block_b: int = 8192,
 ) -> jax.Array:
     """Encrypt bits[batch] -> uint32[W, batch] with the hardware PRNG.
 
@@ -85,13 +93,20 @@ def encrypt_bits_pallas(
         ones_words = words | m
 
         # bit == 0: pick r uniformly in [0, d); static unroll over the key.
+        # The unroll runs on (1, bb) LANE vectors (select r's word index and
+        # bit mask per lane), then expands to (w, bb) with ONE compare+select
+        # — an earlier version unrolled d straight (w, bb) selects, ~5x more
+        # VPU work per element, and measured VPU-bound below the PRNG
+        # roofline (docs/performance.md).
         r = extra[0] % jnp.uint32(d)                           # (bb,)
-        word_ids = jax.lax.broadcasted_iota(jnp.int32, (w, bb), 0)
-        onehot = jnp.zeros((w, bb), jnp.uint32)
+        r_word = jnp.zeros((bb,), jnp.int32)
+        r_bit = jnp.zeros((bb,), jnp.uint32)
         for k, pos in enumerate(key_idx):
-            sel = (r == jnp.uint32(k))[None, :]                # (1, bb)
-            hit = (word_ids == (pos // 32)) & sel
-            onehot = jnp.where(hit, jnp.uint32(1) << (31 - pos % 32), onehot)
+            sel = r == jnp.uint32(k)
+            r_word = jnp.where(sel, jnp.int32(pos // 32), r_word)
+            r_bit = jnp.where(sel, jnp.uint32(1) << (31 - pos % 32), r_bit)
+        word_ids = jax.lax.broadcasted_iota(jnp.int32, (w, bb), 0)
+        onehot = jnp.where(word_ids == r_word[None, :], r_bit[None, :], jnp.uint32(0))
         mask_wo = m & ~onehot
         others_all_one = jnp.all((words & mask_wo) == mask_wo, axis=0)  # (bb,)
         rand_bit = extra[1] & jnp.uint32(1)
