@@ -73,6 +73,52 @@ def main() -> int:
         if not ok:
             fails.append(("permute", chunks))
 
+    # fused multiply+decrypt (flat + tiled) vs the staged oracle, with
+    # forced mask matches so nonzero parities are exercised
+    for t1, t2, kind in [(5, 4096, "flat"), (64, 131072, "tiled"), (3, 384, "flat")]:
+        a_np = np.asarray(rand_wc(t1)).copy()
+        b_np = np.asarray(rand_wc(t2)).copy()
+        a_np[:, rng.choice(t1, min(3, t1), replace=False)] |= sk.mask[:, None]
+        b_np[:, rng.choice(t2, 5, replace=False)] |= sk.mask[:, None]
+        a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+        prod, par = dispatch.mul_decrypt(a, b, mask)
+        want_prod = jax.jit(core.mul_chunks)(a, b)
+        ok = np.array_equal(np.asarray(prod), np.asarray(want_prod)) and int(par) == int(
+            jax.jit(core.decrypt_parity)(want_prod, mask)
+        )
+        print(f"mul_decrypt {kind} {t1}x{t2}: exact={ok} parity={int(par)}")
+        if not ok:
+            fails.append(("mul_decrypt", t1, t2))
+
+    # unaligned multiply band through the auto dispatch (ragged/grouped/
+    # j-major paths) — canonicalized product vs oracle
+    for t1, t2 in [(37, 1000), (100000, 3), (7, 70000), (513, 129)]:
+        a, b = rand_wc(t1), rand_wc(t2)
+        got = (Ciphertext(a, ctx) * Ciphertext(b, ctx)).canonical().wt
+        ok = np.array_equal(np.asarray(got), np.asarray(jax.jit(core.mul_chunks)(a, b)))
+        print(f"mul auto {t1}x{t2}: exact={ok}")
+        if not ok:
+            fails.append(("mul_auto", t1, t2))
+
+    # batched k-permutation fused kernel vs per-element oracle
+    from csgn_tpu.ops.permute_benes import apply_benes_batch_pallas, stack_plans
+
+    kperms = [rng.permutation(ctx.n).astype(np.int32) for _ in range(4)]
+    stacked = stack_plans([build_plan(p, ctx.n) for p in kperms])
+    kwords = jnp.stack([rand_wc(4096) for _ in range(4)])
+    got = np.asarray(apply_benes_batch_pallas(kwords, stacked))
+    ok = all(
+        np.array_equal(
+            got[i],
+            np.asarray(jax.jit(core.permute_chunks, static_argnames="n")(
+                kwords[i], jnp.asarray(kperms[i]), n=ctx.n)),
+        )
+        for i in range(4)
+    )
+    print(f"batched multi-perm pallas k=4: exact={ok}")
+    if not ok:
+        fails.append("benes_batch")
+
     # pallas encrypt invariants + roundtrip
     from csgn_tpu.ops.encrypt_pallas import encrypt_bits_pallas
 
