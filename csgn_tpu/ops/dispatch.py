@@ -16,6 +16,7 @@ __all__ = [
     "mul_chunks_auto",
     "mul_chunks_jmajor",
     "mul_decrypt",
+    "mul_decrypt_count",
     "decrypt_parity",
 ]
 
@@ -138,6 +139,38 @@ def mul_decrypt(a: jax.Array, b: jax.Array, mask: jax.Array):
             return kernels.mul_decrypt_pallas_tiled(a, b, mask)
     _path("mul_dec.xla")
     return _jit_core_mul_decrypt()(a, b, mask)
+
+
+@functools.cache
+def _jit_core_mul_decrypt_count():
+    @jax.jit
+    def md(a, b, mask):
+        prod = core.mul_chunks(a, b)
+        return prod, jnp.sum(core.chunk_matches(prod, mask), dtype=jnp.int32)
+
+    return md
+
+
+def mul_decrypt_count(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """`mul_decrypt` but returning the raw int32 match count — the psum-able
+    form the chunk-sharded fused multiply needs (parallel/ops.py
+    `sharded_mul_decrypt`: per-device block counts cross the mesh, then
+    mod 2)."""
+    t1, t2 = a.shape[-1], b.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 2
+        and t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[0]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul_dec.flat")
+            return kernels.mul_decrypt_pallas(a, b, mask, return_count=True)
+        if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul_dec.tiled")
+            return kernels.mul_decrypt_pallas_tiled(a, b, mask, return_count=True)
+    _path("mul_dec.xla")
+    return _jit_core_mul_decrypt_count()(a, b, mask)
 
 
 def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:

@@ -152,8 +152,10 @@ def _fused_acc_update(acc_ref, av, bv, m):
     acc_ref[0] += jnp.sum(ma.astype(jnp.int32)) * jnp.sum(mb.astype(jnp.int32))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def mul_decrypt_pallas(a: jax.Array, b: jax.Array, mask: jax.Array):
+@functools.partial(jax.jit, static_argnames=("return_count",))
+def mul_decrypt_pallas(
+    a: jax.Array, b: jax.Array, mask: jax.Array, *, return_count: bool = False
+):
     """Fused `mul_chunks_pallas` + decrypt: returns (prod [W, t1*t2], parity).
 
     Same blocking and output layout as `mul_chunks_pallas` (i-major flat
@@ -162,6 +164,10 @@ def mul_decrypt_pallas(a: jax.Array, b: jax.Array, mask: jax.Array):
     Padded a-columns are all-zero and never match (mask has >= 1 set bit
     since d >= 1), so no pad correction is needed.
     Requires `mul_pallas_supported(t1, t2, w)`.
+
+    ``return_count=True`` returns the raw int32 match count instead of the
+    parity — the psum-able form the chunk-sharded fused multiply needs
+    (each device's block count crosses the mesh before the final mod 2).
     """
     w, t1 = a.shape
     _, t2 = b.shape
@@ -186,7 +192,7 @@ def mul_decrypt_pallas(a: jax.Array, b: jax.Array, mask: jax.Array):
 
         @pl.when(step == pl.num_programs(0) - 1)
         def _():
-            p_ref[0] = acc_ref[0] & 1
+            p_ref[0] = acc_ref[0]
 
     prod, parity = pl.pallas_call(
         kern,
@@ -210,17 +216,22 @@ def mul_decrypt_pallas(a: jax.Array, b: jax.Array, mask: jax.Array):
 
     if t1p != t1:
         prod = prod[:, : t1 * t2]
-    return prod, parity[0].astype(jnp.uint32)
+    if return_count:
+        return prod, parity[0]
+    return prod, (parity[0] & 1).astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=())
-def mul_decrypt_pallas_tiled(a: jax.Array, b: jax.Array, mask: jax.Array):
+@functools.partial(jax.jit, static_argnames=("return_count",))
+def mul_decrypt_pallas_tiled(
+    a: jax.Array, b: jax.Array, mask: jax.Array, *, return_count: bool = False
+):
     """Fused `mul_chunks_pallas_tiled` + decrypt (b streamed through VMEM).
 
     Grid (b-tiles, a-columns) with b-tile outermost, as in the unfused tiled
     kernel.  Each b-tile's match count is scaled by its a-column's match bit;
     every (j, i) pair is visited exactly once, so the SMEM accumulator sees
     each product column once.  Requires `mul_tiled_supported(t1, t2, w)`.
+    ``return_count`` as in `mul_decrypt_pallas`.
     """
     w, t1 = a.shape
     _, t2 = b.shape
@@ -240,7 +251,7 @@ def mul_decrypt_pallas_tiled(a: jax.Array, b: jax.Array, mask: jax.Array):
 
         @pl.when((j == pl.num_programs(0) - 1) & (i == pl.num_programs(1) - 1))
         def _():
-            p_ref[0] = acc_ref[0] & 1
+            p_ref[0] = acc_ref[0]
 
     prod, parity = pl.pallas_call(
         kern,
@@ -263,7 +274,9 @@ def mul_decrypt_pallas_tiled(a: jax.Array, b: jax.Array, mask: jax.Array):
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=_interpret(),
     )(ag, b, mask_c)
-    return prod, parity[0].astype(jnp.uint32)
+    if return_count:
+        return prod, parity[0]
+    return prod, (parity[0] & 1).astype(jnp.uint32)
 
 
 # ---------------------------------------------------------------------------

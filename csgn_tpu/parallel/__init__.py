@@ -26,6 +26,7 @@ from csgn_tpu.parallel.ops import (
     sharded_encrypt_bits_invariant,
     sharded_mul_allgather,
     sharded_mul_broadcast,
+    sharded_mul_decrypt,
     sharded_mul_ring,
     sharded_permute,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "shard_ciphertext",
     "sharded_mul_allgather",
     "sharded_mul_broadcast",
+    "sharded_mul_decrypt",
     "sharded_mul_ring",
     "sharded_encrypt_bits_invariant",
     "sharded_decrypt_parity",

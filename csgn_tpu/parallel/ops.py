@@ -38,6 +38,7 @@ from csgn_tpu.utils.metrics import op_metrics
 __all__ = [
     "sharded_mul_allgather",
     "sharded_mul_broadcast",
+    "sharded_mul_decrypt",
     "sharded_mul_ring",
     "sharded_decrypt_parity",
     "sharded_encrypt_bits",
@@ -158,6 +159,43 @@ def sharded_mul_ring(a: jax.Array, b: jax.Array, mesh: Mesh, axis: str = CHUNK_A
             out_specs=P(None, axis),
             check_vma=False,  # pallas interpret lowering lacks vma support
         )(a, b)
+
+
+def sharded_mul_decrypt(
+    a: jax.Array, b: jax.Array, mask: jax.Array, mesh: Mesh, axis: str = CHUNK_AXIS
+):
+    """Chunk-sharded FUSED multiply+decrypt: ``(prod P(None, axis), parity)``.
+
+    The flagship pipeline at pod scale: each device runs the fused Pallas
+    kernel on its (i_local, j) block — writing its product block AND
+    accumulating its block's match count in the same pass — then one scalar
+    psum crosses the mesh and the parity is the total mod 2.  The product is
+    never re-read anywhere on the mesh.  Bit-identical to
+    `sharded_mul_allgather` + `sharded_decrypt_parity` (tests assert both).
+    """
+    nd = _n_axis(mesh, axis)
+    if a.shape[-1] % nd or b.shape[-1] % nd:
+        raise ValueError(f"chunk counts {a.shape[-1]},{b.shape[-1]} not divisible by mesh axis {nd}")
+
+    def local_fn(a_blk, b_blk, m):
+        b_full = jax.lax.all_gather(b_blk, axis, axis=1, tiled=True)
+        prod_blk, cnt = dispatch.mul_decrypt_count(a_blk, b_full, m)
+        total = jax.lax.psum(cnt, axis)
+        return prod_blk, (total.astype(jnp.uint32) & jnp.uint32(1)).reshape(1)
+
+    t1, t2 = a.shape[-1], b.shape[-1]
+    with op_metrics().record(
+        "sharded.mul_decrypt", chunks_in=t1 + t2, chunks_out=t1 * t2,
+        bytes_moved=(t1 + t2 + t1 * t2) * a.shape[-2] * 4,
+    ):
+        prod, parity = jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(None, axis), P(None, axis), P(None)),
+            out_specs=(P(None, axis), P(None)),
+            check_vma=False,  # pallas interpret lowering lacks vma support
+        )(a, b, mask)
+        return prod, parity[0]
 
 
 def sharded_decrypt_parity(words: jax.Array, mask: jax.Array, mesh: Mesh, axis: str = CHUNK_AXIS) -> jax.Array:

@@ -108,3 +108,29 @@ def test_indivisible_raises(ctx, mesh):
         sharded_mul_allgather(a, b, mesh)
     with pytest.raises(ValueError):
         sharded_decrypt_parity(a, jnp.zeros(ctx.words32, jnp.uint32), mesh)
+
+
+@pytest.mark.parametrize("t1,t2,fa,fb", [(8, 16, 3, 5), (16, 8, 1, 2), (32, 32, 0, 0)])
+def test_sharded_mul_decrypt_fused(ctx, mesh, t1, t2, fa, fb):
+    """Fused sharded multiply+decrypt == staged sharded ops == oracle,
+    including odd*odd (parity 1) and zero-match cases."""
+    from csgn_tpu.parallel import sharded_mul_decrypt
+
+    rng = np.random.default_rng(t1 * 100 + t2)
+    sk = SecretKey.generate(ctx, jax.random.key(5))
+    mask = jnp.asarray(sk.mask)
+    a_np = np.asarray(_rand_words_wc(rng, t1, ctx)).copy()
+    b_np = np.asarray(_rand_words_wc(rng, t2, ctx)).copy()
+    if fa:
+        a_np[:, rng.choice(t1, fa, replace=False)] |= sk.mask[:, None]
+    if fb:
+        b_np[:, rng.choice(t2, fb, replace=False)] |= sk.mask[:, None]
+    a, b = jnp.asarray(a_np), jnp.asarray(b_np)
+
+    prod, parity = sharded_mul_decrypt(a, b, mask, mesh)
+    want_prod = core.mul_chunks(a, b)
+    np.testing.assert_array_equal(jax.device_get(prod), np.asarray(want_prod))
+    assert int(parity) == (fa * fb) & 1 == int(core.decrypt_parity(want_prod, mask))
+
+    staged = sharded_mul_allgather(a, b, mesh)
+    assert int(parity) == int(sharded_decrypt_parity(staged, mask, mesh))
