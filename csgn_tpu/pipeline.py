@@ -17,14 +17,27 @@ deep chains are a memory/scheduling problem, not just a kernel problem
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from csgn_tpu.ciphertext import Ciphertext
 from csgn_tpu.ops import dispatch
 from csgn_tpu.parallel.mesh import CHUNK_AXIS
-from csgn_tpu.parallel.ops import sharded_mul_allgather, sharded_mul_broadcast
+from csgn_tpu.parallel.ops import (
+    sharded_decrypt_parity,
+    sharded_mul_allgather,
+    sharded_mul_broadcast,
+    sharded_mul_decrypt,
+)
+from csgn_tpu.plaintext import Plaintext
 
-__all__ = ["chain_chunks", "mul_chain", "mul_chain_sharded"]
+__all__ = [
+    "chain_chunks",
+    "mul_chain",
+    "mul_chain_decrypt",
+    "mul_chain_sharded",
+    "mul_chain_sharded_decrypt",
+]
 
 
 def chain_chunks(chunk_counts: list[int]) -> int:
@@ -63,6 +76,35 @@ def mul_chain(cts: list[Ciphertext]) -> Ciphertext:
     return Ciphertext(fold(*[ct.canonical().wt for ct in cts]), ctx)
 
 
+def mul_chain_decrypt(cts: list[Ciphertext], sk) -> tuple[Ciphertext, Plaintext]:
+    """`mul_chain` with the FINAL multiply fused with the decrypt — the whole
+    chain-and-read-out pipeline in one jit dispatch, and the final (largest)
+    product is written once and never re-read (ops/kernels.py
+    `mul_decrypt_pallas`).  Returns ``(product, Dec(product))``, bit-exact to
+    ``(mul_chain(cts), sk.decrypt(mul_chain(cts)))``.
+    """
+    if not cts:
+        raise ValueError("empty chain")
+    ctx = cts[0].ctx
+    for ct in cts[1:]:
+        if ct.ctx != ctx:
+            raise ValueError("context mismatch in chain")
+    if sk.ctx != ctx:
+        raise ValueError("secret key context mismatch")
+
+    @jax.jit
+    def fold(mask, *wts):
+        acc = wts[0]
+        for wt in wts[1:-1]:
+            acc = dispatch.mul_chunks(acc, wt)
+        if len(wts) > 1:
+            return dispatch.mul_decrypt(acc, wts[-1], mask)
+        return acc, dispatch.decrypt_parity(acc, mask)
+
+    words, parity = fold(jnp.asarray(sk.mask), *[ct.canonical().wt for ct in cts])
+    return Ciphertext(words, ctx), Plaintext(int(parity))
+
+
 def mul_chain_sharded(cts: list[Ciphertext], mesh: Mesh, axis: str = CHUNK_AXIS) -> Ciphertext:
     """`mul_chain` with the accumulator chunk-sharded over the mesh.
 
@@ -85,3 +127,32 @@ def mul_chain_sharded(cts: list[Ciphertext], mesh: Mesh, axis: str = CHUNK_AXIS)
         else:
             acc = sharded_mul_broadcast(acc, ct.wt, mesh, axis)
     return Ciphertext(acc, ctx)
+
+
+def mul_chain_sharded_decrypt(
+    cts: list[Ciphertext], sk, mesh: Mesh, axis: str = CHUNK_AXIS
+) -> tuple[Ciphertext, Plaintext]:
+    """`mul_chain_sharded` with the final step fused with the decrypt
+    (`parallel.sharded_mul_decrypt`): the final product's blocks are written
+    once per device and never re-read anywhere on the mesh — one scalar psum
+    carries the parity out.  Falls back to broadcast-mul + psum decrypt when
+    the last operand's chunk count doesn't divide the mesh axis.
+    """
+    if not cts:
+        raise ValueError("empty chain")
+    ctx = cts[0].ctx
+    if sk.ctx != ctx:
+        raise ValueError("secret key context mismatch")
+    mask = jnp.asarray(sk.mask)
+    nd = mesh.shape[axis]
+    if len(cts) == 1:
+        acc = cts[0].canonical().wt
+        return cts[0], Plaintext(int(sharded_decrypt_parity(acc, mask, mesh, axis)))
+    acc = mul_chain_sharded(cts[:-1], mesh, axis).wt
+    last = cts[-1].canonical()
+    if last.chunks % nd == 0:
+        words, parity = sharded_mul_decrypt(acc, last.wt, mask, mesh, axis)
+    else:
+        words = sharded_mul_broadcast(acc, last.wt, mesh, axis)
+        parity = sharded_decrypt_parity(words, mask, mesh, axis)
+    return Ciphertext(words, ctx), Plaintext(int(parity))

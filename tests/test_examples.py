@@ -42,3 +42,10 @@ def test_deep_chain_32(small_ctx):
     assert out["depth"] == 32
     assert out["peak_chunks"] <= 2048
     assert out["unbounded_chunks_would_be"] == 2 ** 32
+
+
+def test_key_rotation_example():
+    import key_rotation
+
+    out = key_rotation.main(fleet=6, n=95, d=4)
+    assert out["decrypted"] == out["expected"]

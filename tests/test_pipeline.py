@@ -75,3 +75,59 @@ def test_permute_mxu_matches_gather(ctx, rng):
     p1 = core.permute_chunks(words, jnp.asarray(perm), ctx.n)
     p2 = permute_chunks_mxu(words, onehot_matrix(perm, ctx.n), ctx.n)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_mul_chain_decrypt_fused(small_ctx):
+    """Fused chain+decrypt == staged chain then decrypt, bit-exact."""
+    import jax
+
+    from csgn_tpu.pipeline import mul_chain, mul_chain_decrypt
+    from csgn_tpu.secret_key import SecretKey
+
+    keys = jax.random.split(jax.random.key(2), 6)
+    sk = SecretKey.generate(small_ctx, keys[0])
+    cts = [sk.encrypt(1, k) for k in keys[1:5]]
+    cts[2] = cts[2] + sk.encrypt(0, keys[5])  # a 2-chunk operand (1 XOR 0 = 1)
+
+    prod, dec = mul_chain_decrypt(cts, sk)
+    want = mul_chain(cts)
+    np.testing.assert_array_equal(np.asarray(prod.wt), np.asarray(want.wt))
+    assert int(dec) == int(sk.decrypt(want)) == 1
+
+    # single-element chain degenerates to decrypt
+    p1, d1 = mul_chain_decrypt(cts[:1], sk)
+    assert int(d1) == 1
+    np.testing.assert_array_equal(np.asarray(p1.wt), np.asarray(cts[0].wt))
+
+
+def test_mul_chain_sharded_decrypt_fused(small_ctx):
+    """Sharded fused chain+decrypt == unsharded oracle on the virtual mesh,
+    both the divisible (fused) and indivisible (broadcast) last-operand
+    branches."""
+    import jax
+    import jax.numpy as jnp
+
+    from csgn_tpu.ops import core
+    from csgn_tpu.parallel import chunk_mesh
+    from csgn_tpu.pipeline import mul_chain, mul_chain_sharded_decrypt
+    from csgn_tpu.secret_key import SecretKey
+
+    rng = np.random.default_rng(4)
+    mesh = chunk_mesh(8)
+    keys = jax.random.split(jax.random.key(3), 4)
+    sk = SecretKey.generate(small_ctx, keys[0])
+    w = small_ctx.words32
+    first = Ciphertext(
+        jnp.asarray(rng.integers(0, 2**32, (w, 16), dtype=np.uint32)
+                    & small_ctx.valid_mask[:, None]), small_ctx)
+    lasts = {
+        "divisible": Ciphertext(sk.encrypt_batch(
+            jnp.asarray(np.ones(8, np.uint8)), keys[1]), small_ctx),
+        "indivisible": Ciphertext(sk.encrypt_batch(
+            jnp.asarray(np.ones(3, np.uint8)), keys[2]), small_ctx),
+    }
+    for name, last in lasts.items():
+        prod, dec = mul_chain_sharded_decrypt([first, last], sk, mesh)
+        want = mul_chain([first, last])
+        np.testing.assert_array_equal(jax.device_get(prod.wt), np.asarray(want.wt), err_msg=name)
+        assert int(dec) == int(sk.decrypt(want)), name
