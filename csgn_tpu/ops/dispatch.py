@@ -327,3 +327,25 @@ def permute(words: jax.Array, plan) -> jax.Array:
         return pb.apply_benes_pallas(words, plan)
     _path("permute.benes_xla")
     return pb.apply_benes(words, plan)
+
+
+def permute_decrypt(words: jax.Array, plan, mask: jax.Array):
+    """Permutation + decrypt in one dispatch: ``(permuted [W, C], parity)``.
+
+    `mask` must be the key matching the OUTPUT (key-transform workflow: the
+    permuted key's mask).  Bit-exact to `permute` + `decrypt_parity`.
+
+    Unlike the multiply (HBM-bound, where in-kernel parity accumulation is
+    free and deletes a full product read), the Beneš kernel is VPU-bound and
+    its saved decrypt read is cheap — the fused variant
+    (`pb.apply_benes_decrypt_pallas`) MEASURED SLOWER on chip (2.29 ms vs
+    2.20 ms staged at 2^20 chunks; artifacts/permdec_r3.out): the in-kernel
+    eq-all cross-sublane reduce costs more VPU time than the ~0.3 ms XLA
+    read it avoids.  So this routes the STAGED pipeline (fused-Beneš Pallas
+    permute + speed-of-light XLA decrypt) under one jit; the fused kernel
+    stays available and tested for payloads that skip materializing the
+    permuted output.
+    """
+    _path("permute_dec.staged")
+    out = permute(words, plan)
+    return out, _jit_core_decrypt()(out, mask)

@@ -34,6 +34,7 @@ __all__ = [
     "apply_benes",
     "apply_benes_batch",
     "apply_benes_batch_pallas",
+    "apply_benes_decrypt_pallas",
     "apply_benes_pallas",
     "stack_plans",
     "BENES_PALLAS_MIN_C",
@@ -266,6 +267,114 @@ def apply_benes_batch(words: jax.Array, stacked: StackedPlans) -> jax.Array:
             t = (x ^ jnp.roll(x, -r, axis=-2)) & m
             x = x ^ t ^ jnp.roll(t, r, axis=-2)
     return x[:, :w, :]
+
+
+def apply_benes_decrypt_pallas(
+    words: jax.Array,
+    plan: BenesPlan,
+    mask: jax.Array,
+    *,
+    block_c: int = 2048,
+    return_count: bool = False,
+):
+    """Fused Beneš + decrypt: ``(permuted [W, C], parity)`` in ONE pass.
+
+    The permute→decrypt pipeline (reference tests/timings.cpp:56-66: permute
+    the ciphertext, decrypt under the permuted key) staged costs the
+    permutation's read+write plus a full re-read of the permuted payload.
+    This kernel computes each output block's eq-all match count against the
+    (permuted-key) mask while the block is still in VMEM — the decrypt read
+    disappears, for ~3 extra VPU ops/element on a VPU-bound kernel.
+
+    The mask must be the key matching the OUTPUT (for a key-transform
+    workflow: `sk.apply_permutation(p).mask`).  ``return_count=True`` emits
+    the raw int32 count (the psum-able form for sharded use).  Bit-exact to
+    `apply_benes` + `core.decrypt_parity`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    w, c = words.shape
+    wp = plan.words_pad
+    bc = min(block_c, max(128, c))
+    cp = -(-c // bc) * bc
+    x = jnp.asarray(words).astype(jnp.uint32)
+    x = jnp.pad(x, ((0, wp - w), (0, cp - c)))
+    masks = jnp.asarray(plan.masks)
+    mask_col = jnp.pad(jnp.asarray(mask).reshape(w, 1), ((0, wp - w), (0, 0)))
+    deltas = plan.deltas
+    n_stages = len(deltas)
+    rows = plan.rows if len(plan.rows) == n_stages else (wp,) * n_stages
+    live_in = min(wp, ((w + 7) // 8) * 8)
+
+    def kern(m_ref, dk_ref, x_ref, o_ref, p_ref, acc_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            acc_ref[0] = 0
+
+        live = min(live_in, rows[0]) if n_stages else live_in
+        x = x_ref[0:live]
+        for s, delta in enumerate(deltas):
+            rs = rows[s]
+            if rs > live:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
+                )
+            elif rs < live:
+                x = x[0:rs]
+            live = rs
+            m = m_ref[s].reshape(wp, 1)[0:rs]
+            if delta < 32:
+                d = jnp.uint32(delta)
+                t = (x ^ (x << d)) & m
+                x = x ^ t ^ (t >> d)
+            else:
+                r = delta // 32
+                t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
+                x = x ^ t ^ pltpu.roll(t, r, axis=0)
+        o_ref[0:live] = x
+        if live < wp:
+            o_ref[live:wp] = jnp.zeros((wp - live, x.shape[1]), jnp.uint32)
+        # Decrypt accumulation on the still-resident block: the mask's
+        # nonzero rows all lie within the final live window (payload rows),
+        # and out-of-window rows are zero = trivially matching zero mask.
+        dk = dk_ref[0:live]
+        matches = jnp.all((x & dk) == dk, axis=0)
+        acc_ref[0] += jnp.sum(matches.astype(jnp.int32))
+
+        @pl.when(step == pl.num_programs(0) - 1)
+        def _():
+            p_ref[0] = acc_ref[0]
+
+    interpret = jax.default_backend() != "tpu"
+    vma = getattr(jax.typeof(x), "vma", frozenset()) | getattr(
+        jax.typeof(masks), "vma", frozenset()
+    ) | getattr(jax.typeof(mask_col), "vma", frozenset())
+    out, cnt = pl.pallas_call(
+        kern,
+        out_shape=[
+            jax.ShapeDtypeStruct((wp, cp), jnp.uint32, vma=vma),
+            jax.ShapeDtypeStruct((1,), jnp.int32, vma=vma),
+        ],
+        grid=(cp // bc,),
+        in_specs=[
+            pl.BlockSpec((n_stages, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(masks, mask_col, x)
+    out = out[:w, :c]
+    if return_count:
+        return out, cnt[0]
+    return out, (cnt[0] & 1).astype(jnp.uint32)
 
 
 def apply_benes_batch_pallas(

@@ -239,6 +239,37 @@ class SecretKey:
 
     # -- permutation --------------------------------------------------------
 
+    def permute_and_decrypt(
+        self, ciphertext: Ciphertext, p: Permutation
+    ) -> tuple[Ciphertext, Plaintext]:
+        """Fused key rotation + readout: ``(π(c), Dec_{π(k)}(π(c)))`` in ONE
+        pass over the payload.
+
+        The reference's permute-then-decrypt flow (tests/timings.cpp:56-66)
+        staged pays the permutation's read+write plus a full re-read; the
+        fused Beneš kernel accumulates the permuted-key eq-all count while
+        each permuted block is still in VMEM.  By the transform identity the
+        result equals ``self.decrypt(ciphertext)`` — asserting both is a
+        built-in self-check of the rotation (tests do).
+        """
+        if ciphertext.ctx != self.ctx:
+            raise ValueError("ciphertext context mismatch")
+        if p.n != self.ctx.n:
+            raise ValueError(f"permutation length {p.n} != context n {self.ctx.n}")
+        psk = self.apply_permutation(p)
+        with op_metrics().record(
+            "key.permute_and_decrypt", chunks_in=ciphertext.chunks,
+            chunks_out=ciphertext.chunks,
+            bytes_moved=2 * self.ctx.chunk_count_bytes(ciphertext.physical_chunks),
+        ):
+            out, parity = dispatch.permute_decrypt(
+                ciphertext.wt, p.benes_plan(), jnp.asarray(psk.mask)
+            )
+            return (
+                Ciphertext(out, self.ctx, ciphertext.logical, ciphertext.pad),
+                Plaintext(int(parity)),
+            )
+
     def apply_permutation(self, p: Permutation) -> "SecretKey":
         """Key transform: Dec_{π(k)}(π(c)) = Dec_k(c).
 

@@ -141,3 +141,64 @@ def test_ciphertext_batch_apply_permutations(small_ctx):
         assert int(psk.decrypt(permuted[i])) == int(bits[i]), i
         want = core.permute_chunks(batch.wt[i], jnp.asarray(perms[i].perm), small_ctx.n)
         np.testing.assert_array_equal(np.asarray(permuted.wt[i]), np.asarray(want))
+
+
+@pytest.mark.parametrize("chunks,forced", [(6, 3), (256, 7), (130, 0)])
+def test_apply_benes_decrypt_fused(ctx, chunks, forced):
+    """Fused Beneš+decrypt == staged permute then eq-all decrypt, with
+    forced matches so nonzero parities are exercised (interpret mode here;
+    real-Mosaic coverage via the .tpuq validation job)."""
+    import jax
+
+    from csgn_tpu.ops.permute_benes import apply_benes_decrypt_pallas
+    from csgn_tpu.secret_key import SecretKey
+
+    rng = np.random.default_rng(chunks * 7 + forced)
+    sk = SecretKey.generate(ctx, jax.random.key(chunks))
+    perm = rng.permutation(ctx.n).astype(np.int32)
+    plan = build_plan(perm, ctx.n)
+    w_np = np.asarray(
+        rng.integers(0, 2**32, (ctx.words32, chunks), dtype=np.uint32)
+        & ctx.valid_mask[:, None]
+    )
+    # Force matches AGAINST THE PERMUTED KEY: permute psk.mask back through
+    # the inverse so the permuted chunk matches.
+    psk_mask = jnp.asarray(sk.mask)
+    if forced:
+        inv = np.argsort(perm)
+        pre = np.asarray(core.permute_chunks(psk_mask[:, None], jnp.asarray(inv), ctx.n))
+        w_np[:, rng.choice(chunks, forced, replace=False)] |= pre[:, 0:1]
+    words = jnp.asarray(w_np)
+
+    out, parity = apply_benes_decrypt_pallas(words, plan, psk_mask, block_c=128)
+    want_out = core.permute_chunks(words, jnp.asarray(perm), ctx.n)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want_out))
+    assert int(parity) == int(core.decrypt_parity(want_out, psk_mask))
+    if forced:
+        assert int(parity) == forced & 1
+
+    _, cnt = apply_benes_decrypt_pallas(words, plan, psk_mask, block_c=128,
+                                        return_count=True)
+    assert int(cnt) == int(np.asarray(core.chunk_matches(want_out, psk_mask)).sum())
+
+
+def test_secret_key_permute_and_decrypt(ctx):
+    """Public fused rotation API: result equals both the permuted-key
+    decrypt of the permuted ciphertext AND (transform identity) the plain
+    decrypt of the original."""
+    import jax
+
+    from csgn_tpu.permutation import Permutation
+    from csgn_tpu.secret_key import SecretKey
+
+    keys = jax.random.split(jax.random.key(8), 3)
+    sk = SecretKey.generate(ctx, keys[0])
+    ct = sk.encrypt(1, keys[1]) + sk.encrypt(0, keys[2])
+    p = Permutation.random(ctx, jax.random.key(4))
+
+    pct, dec = sk.permute_and_decrypt(ct, p)
+    psk = sk.apply_permutation(p)
+    assert int(dec) == int(psk.decrypt(pct)) == int(sk.decrypt(ct)) == 1
+    np.testing.assert_array_equal(
+        np.asarray(pct.wt), np.asarray(ct.apply_permutation(p).wt)
+    )
