@@ -234,6 +234,40 @@ def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, i
     return _jit_core_mul()(a, b), False, 0, 0
 
 
+@functools.cache
+def _jit_core_mul_decrypt_batched():
+    @jax.jit
+    def md(a, b, mask):
+        prod = core.mul_chunks(a, b)
+        return prod, core.decrypt_parity(prod, mask)
+
+    return md
+
+
+def mul_decrypt_batched(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """Batched fused multiply+decrypt: [B,W,t1] x [B,W,t2] ->
+    ([B,W,t1*t2] i-major, parity uint32[B]) — element i of the output is the
+    cross product of the operands' elements i plus ITS decrypt parity, all
+    in one pass per element (vmapped fused Pallas kernels; Pallas prepends a
+    batch grid dimension, per-step VMEM blocks unchanged)."""
+    t1, t2 = a.shape[-1], b.shape[-1]
+    batch = a.shape[0]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 3
+        and batch * t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[-2]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul_dec.b_flat")
+            return jax.vmap(lambda x, y: kernels.mul_decrypt_pallas(x, y, mask))(a, b)
+        if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul_dec.b_tiled")
+            return jax.vmap(lambda x, y: kernels.mul_decrypt_pallas_tiled(x, y, mask))(a, b)
+    _path("mul_dec.b_xla")
+    return _jit_core_mul_decrypt_batched()(a, b, mask)
+
+
 def mul_chunks_batched(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:
     """Batched `mul_chunks_auto`: [B,W,t1] x [B,W,t2] -> ([B,W,phys], jmajor,
     zpad_a, zpad_b) — element i of the output is the cross product of the

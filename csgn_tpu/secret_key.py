@@ -197,6 +197,34 @@ class SecretKey:
             pad = int(out.shape[-1]) - t1 * t2
             return Ciphertext(out, self.ctx, tag, pad), Plaintext(int(parity))
 
+    def mul_and_decrypt_batch(self, cb1, cb2):
+        """Batched fused multiply+decrypt: ``(cb1 * cb2, bits uint32[B])`` —
+        every element's product and its decrypt parity in one pass per
+        element (vmapped fused kernels, `ops.dispatch.mul_decrypt_batched`).
+        Bit-exact to ``self.decrypt_batch((cb1 * cb2))``.
+        """
+        from csgn_tpu.batch import CiphertextBatch
+        from csgn_tpu.ops import order
+
+        if not isinstance(cb1, CiphertextBatch) or not isinstance(cb2, CiphertextBatch):
+            raise TypeError("mul_and_decrypt_batch expects CiphertextBatch operands")
+        if cb1.ctx != self.ctx or cb2.ctx != self.ctx:
+            raise ValueError("ciphertext context mismatch")
+        if cb1.batch != cb2.batch:
+            raise ValueError(f"batch mismatch: {cb1.batch} vs {cb2.batch}")
+        t1, t2 = cb1.chunks, cb2.chunks
+        with op_metrics().record(
+            "key.mul_and_decrypt_batch", chunks_in=cb1.batch * (t1 + t2),
+            chunks_out=cb1.batch * t1 * t2,
+            bytes_moved=cb1.batch * self.ctx.chunk_count_bytes(t1 + t2 + t1 * t2),
+        ):
+            out, bits = dispatch.mul_decrypt_batched(
+                cb1.wt, cb2.wt, jnp.asarray(self._mask)
+            )
+            tag = order.cross_logical(cb1.logical, cb2.logical, t1, t2, jmajor=False)
+            pad = int(out.shape[-1]) - t1 * t2
+            return CiphertextBatch(out, self.ctx, tag, pad), bits
+
     def decrypt_product(self, cts: list[Ciphertext]) -> Plaintext:
         """Decrypt a product WITHOUT materializing it: Dec(∏ cᵢ) = ∧ Dec(cᵢ).
 

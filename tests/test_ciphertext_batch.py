@@ -116,3 +116,31 @@ def test_errors(setup, small_ctx):
         cb * CiphertextBatch(cb.wt[:2], small_ctx)
     with pytest.raises(ValueError, match="not a fresh batch"):
         (cb + cb).to_fresh()
+
+
+def test_mul_and_decrypt_batch_fused(ctx):
+    """Batched fused mul+decrypt == staged batch multiply then decrypt."""
+    import jax
+
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.secret_key import SecretKey
+
+    rng = np.random.default_rng(31)
+    sk = SecretKey.generate(ctx, jax.random.key(1))
+    b = 6
+    bits1 = jnp.asarray(rng.integers(0, 2, b, dtype=np.uint8))
+    bits2 = jnp.asarray(rng.integers(0, 2, b, dtype=np.uint8))
+    w1 = jnp.transpose(sk.encrypt_batch(bits1, jax.random.key(2)), (1, 0))[:, :, None]
+    w2 = jnp.transpose(sk.encrypt_batch(bits2, jax.random.key(3)), (1, 0))[:, :, None]
+    cb1 = CiphertextBatch(jnp.concatenate([w1, w1], axis=-1), ctx)  # 2 chunks: parity 0
+    cb2 = CiphertextBatch(jnp.concatenate([w2, w1], axis=-1), ctx)  # b2 ^ b1
+
+    prod, got_bits = sk.mul_and_decrypt_batch(cb1, cb2)
+    staged = cb1 * cb2
+    want_bits = sk.decrypt_batch(staged)
+    np.testing.assert_array_equal(
+        np.asarray(prod.canonical().wt), np.asarray(staged.canonical().wt)
+    )
+    np.testing.assert_array_equal(np.asarray(got_bits), np.asarray(want_bits))
+    # semantics: Dec(cb1)=0 element-wise, so every product decrypts to 0
+    np.testing.assert_array_equal(np.asarray(got_bits), np.zeros(b, np.uint32))
