@@ -14,8 +14,12 @@ from csgn_tpu.utils.metrics import op_metrics
 __all__ = [
     "mul_chunks",
     "mul_chunks_auto",
+    "mul_chunks_batched",
     "mul_chunks_jmajor",
     "mul_decrypt",
+    "mul_decrypt_auto",
+    "mul_decrypt_batched",
+    "mul_decrypt_batched_auto",
     "mul_decrypt_count",
     "decrypt_parity",
 ]
@@ -105,23 +109,120 @@ def mul_chunks(a: jax.Array, b: jax.Array) -> jax.Array:
 
 
 @functools.cache
-def _jit_core_mul_decrypt():
+def _jit_staged_mul_decrypt(variant: str, count: bool):
+    """ONE-dispatch staged product+parity for shapes with no fused kernel.
+
+    The product kernel still runs at its `mul_chunks_auto` rate; the decrypt
+    re-read costs one extra product pass, but the whole pipeline stays a
+    single jit (single ~27 ms tunnel dispatch), so `mul_and_decrypt` is never
+    slower than separate `mul` + `decrypt` calls at ANY shape.  Works on 2-D
+    ([W, t]) and batched 3-D ([B, W, t]) operands alike (`core` ops
+    broadcast; `decrypt_parity` reduces the trailing two axes).
+    """
+    if variant == "jm_xla":
+        def prod_fn(a, b):
+            t2 = b.shape[-1]
+            return jnp.concatenate(
+                [a & b[..., :, j : j + 1] for j in range(t2)], axis=-1
+            )
+    elif variant == "grouped":
+        prod_fn = kernels.mul_chunks_pallas_grouped
+    else:
+        prod_fn = core.mul_chunks
+
     @jax.jit
     def md(a, b, mask):
-        prod = core.mul_chunks(a, b)
+        prod = prod_fn(a, b)
+        if count:
+            return prod, jnp.sum(core.chunk_matches(prod, mask), dtype=jnp.int32)
         return prod, core.decrypt_parity(prod, mask)
 
     return md
 
 
+def _mul_decrypt_route(a: jax.Array, b: jax.Array, mask: jax.Array, *, count: bool):
+    """Fused multiply+decrypt over the FULL `mul_chunks_auto` shape envelope:
+    returns ``(words, jmajor, zpad_a, zpad_b, val)``.
+
+    Routing mirrors `mul_chunks_auto` exactly — the decrypt parity is a
+    reduction over the *multiset* of product chunks (reference
+    src/SecretKey.cpp:126-140), so it is chunk-order-independent (swapped
+    j-major kernels need no correction) and pad-neutral (all-zero pad chunks
+    never match a mask with d >= 1), which lets every product kernel family
+    carry the fused SMEM accumulator unchanged.  Shapes with no fused kernel
+    (mid-size unaligned t2) run their best product kernel + decrypt staged
+    under ONE jit.  ``val`` is the parity bit, or the raw psum-able int32
+    match count with ``count=True``.
+    """
+    t1, t2 = a.shape[-1], b.shape[-1]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 2
+        and t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[0]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul_dec.flat")
+            out, v = kernels.mul_decrypt_pallas(a, b, mask, return_count=count)
+            return out, False, 0, 0, v
+        if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul_dec.tiled")
+            out, v = kernels.mul_decrypt_pallas_tiled(a, b, mask, return_count=count)
+            return out, False, 0, 0, v
+        if kernels.mul_pallas_supported(t2, t1, w):
+            _path("mul_dec.jm_flat")
+            out, v = kernels.mul_decrypt_pallas(b, a, mask, return_count=count)
+            return out, True, 0, 0, v
+        if kernels.mul_tiled_supported(t2, t1, w):
+            _path("mul_dec.jm_tiled")
+            out, v = kernels.mul_decrypt_pallas_tiled(b, a, mask, return_count=count)
+            return out, True, 0, 0, v
+        if kernels.mul_ragged_supported(t2) and t2 >= t1:
+            _path("mul_dec.ragged")
+            zp = kernels.ragged_padded(t2) - t2
+            out, v = kernels.mul_decrypt_pallas_tiled_ragged(
+                a, b, mask, return_count=count
+            )
+            return out, False, 0, zp, v
+        if kernels.mul_ragged_supported(t1):
+            _path("mul_dec.jm_ragged")
+            zp = kernels.ragged_padded(t1) - t1
+            out, v = kernels.mul_decrypt_pallas_tiled_ragged(
+                b, a, mask, return_count=count
+            )
+            return out, True, zp, 0, v
+        if 1 < t2 <= _JMAJOR_XLA_MAX_T2:
+            _path("mul_dec.jm_xla")
+            out, v = _jit_staged_mul_decrypt("jm_xla", count)(a, b, mask)
+            return out, True, 0, 0, v
+        if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            _path("mul_dec.grouped")
+            out, v = _jit_staged_mul_decrypt("grouped", count)(a, b, mask)
+            return out, False, 0, 0, v
+    _path("mul_dec.xla")
+    out, v = _jit_staged_mul_decrypt("xla", count)(a, b, mask)
+    return out, False, 0, 0, v
+
+
+def mul_decrypt_auto(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """Fastest fused multiply+decrypt, in whatever product layout the TPU
+    likes: ``(words, jmajor, zpad_a, zpad_b, parity)`` — the fused analogue
+    of `mul_chunks_auto` (same routing, same order/pad reporting for the
+    caller's tag; see `_mul_decrypt_route`)."""
+    return _mul_decrypt_route(a, b, mask, count=False)
+
+
 def mul_decrypt(a: jax.Array, b: jax.Array, mask: jax.Array):
     """Fused multiply + decrypt: ``(prod [W, t1*t2] i-major, parity bit)``.
 
-    The flagship pipeline op: on TPU the Pallas kernels accumulate the
-    product's decrypt parity in SMEM during the same pass that writes the
-    product, deleting the decrypt's full product read (mul+dec HBM traffic
-    drops 2x -> 1x; docs/performance.md).  Falls back to staged
-    mul->decrypt through XLA for shapes the fused kernels don't serve.
+    The flagship pipeline op in its CANONICAL-layout form (callers that must
+    not carry an order tag — chain folds, sharded blocks): on TPU the Pallas
+    kernels accumulate the product's decrypt parity in SMEM during the same
+    pass that writes the product, deleting the decrypt's full product read
+    (mul+dec HBM traffic drops 2x -> 1x; docs/performance.md).  Unaligned
+    shapes run the grouped product kernel + decrypt staged under one jit.
+    Use `mul_decrypt_auto` when the caller tracks order tags — it serves
+    every shape class fused.
     Bit-exact to `core.decrypt_parity(core.mul_chunks(a, b), mask)`.
     """
     t1, t2 = a.shape[-1], b.shape[-1]
@@ -137,25 +238,19 @@ def mul_decrypt(a: jax.Array, b: jax.Array, mask: jax.Array):
         if kernels.mul_tiled_supported(t1, t2, w):
             _path("mul_dec.tiled")
             return kernels.mul_decrypt_pallas_tiled(a, b, mask)
+        if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            _path("mul_dec.grouped")
+            return _jit_staged_mul_decrypt("grouped", False)(a, b, mask)
     _path("mul_dec.xla")
-    return _jit_core_mul_decrypt()(a, b, mask)
-
-
-@functools.cache
-def _jit_core_mul_decrypt_count():
-    @jax.jit
-    def md(a, b, mask):
-        prod = core.mul_chunks(a, b)
-        return prod, jnp.sum(core.chunk_matches(prod, mask), dtype=jnp.int32)
-
-    return md
+    return _jit_staged_mul_decrypt("xla", False)(a, b, mask)
 
 
 def mul_decrypt_count(a: jax.Array, b: jax.Array, mask: jax.Array):
     """`mul_decrypt` but returning the raw int32 match count — the psum-able
     form the chunk-sharded fused multiply needs (parallel/ops.py
     `sharded_mul_decrypt`: per-device block counts cross the mesh, then
-    mod 2)."""
+    mod 2).  Canonical i-major output (sharded products are born i-major
+    sharded); unaligned shapes stage grouped-product + count under one jit."""
     t1, t2 = a.shape[-1], b.shape[-1]
     if (
         jax.default_backend() == "tpu"
@@ -169,8 +264,11 @@ def mul_decrypt_count(a: jax.Array, b: jax.Array, mask: jax.Array):
         if kernels.mul_tiled_supported(t1, t2, w):
             _path("mul_dec.tiled")
             return kernels.mul_decrypt_pallas_tiled(a, b, mask, return_count=True)
+        if t2 >= _GROUPED_MIN_T2 and kernels.mul_grouped_supported(t1, t2, w):
+            _path("mul_dec.grouped")
+            return _jit_staged_mul_decrypt("grouped", True)(a, b, mask)
     _path("mul_dec.xla")
-    return _jit_core_mul_decrypt_count()(a, b, mask)
+    return _jit_staged_mul_decrypt("xla", True)(a, b, mask)
 
 
 def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:
@@ -234,22 +332,71 @@ def mul_chunks_auto(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, i
     return _jit_core_mul()(a, b), False, 0, 0
 
 
-@functools.cache
-def _jit_core_mul_decrypt_batched():
-    @jax.jit
-    def md(a, b, mask):
-        prod = core.mul_chunks(a, b)
-        return prod, core.decrypt_parity(prod, mask)
-
-    return md
+def mul_decrypt_batched_auto(a: jax.Array, b: jax.Array, mask: jax.Array):
+    """Batched fused multiply+decrypt over the full shape envelope:
+    [B,W,t1] x [B,W,t2] -> ``(words [B,W,phys], jmajor, zpad_a, zpad_b,
+    bits uint32[B])`` — the fused analogue of `mul_chunks_batched` (same
+    routing; the single-ciphertext fused kernels vectorize with `jax.vmap`,
+    which prepends a batch grid dimension and leaves per-step VMEM blocks
+    unchanged).  Element i of the output is the cross product of the
+    operands' elements i plus ITS decrypt parity, all elements sharing one
+    physical chunk order."""
+    t1, t2 = a.shape[-1], b.shape[-1]
+    batch = a.shape[0]
+    if (
+        jax.default_backend() == "tpu"
+        and a.ndim == 3
+        and batch * t1 * t2 >= kernels.MUL_PALLAS_MIN_OUT
+    ):
+        w = a.shape[-2]
+        if kernels.mul_pallas_supported(t1, t2, w):
+            _path("mul_dec.b_flat")
+            out, bits = jax.vmap(lambda x, y: kernels.mul_decrypt_pallas(x, y, mask))(a, b)
+            return out, False, 0, 0, bits
+        if kernels.mul_tiled_supported(t1, t2, w):
+            _path("mul_dec.b_tiled")
+            out, bits = jax.vmap(
+                lambda x, y: kernels.mul_decrypt_pallas_tiled(x, y, mask)
+            )(a, b)
+            return out, False, 0, 0, bits
+        if kernels.mul_pallas_supported(t2, t1, w):
+            _path("mul_dec.b_jm_flat")
+            out, bits = jax.vmap(lambda x, y: kernels.mul_decrypt_pallas(y, x, mask))(a, b)
+            return out, True, 0, 0, bits
+        if kernels.mul_tiled_supported(t2, t1, w):
+            _path("mul_dec.b_jm_tiled")
+            out, bits = jax.vmap(
+                lambda x, y: kernels.mul_decrypt_pallas_tiled(y, x, mask)
+            )(a, b)
+            return out, True, 0, 0, bits
+        if kernels.mul_ragged_supported(t2) and t2 >= t1:
+            _path("mul_dec.b_ragged")
+            zp = kernels.ragged_padded(t2) - t2
+            out, bits = jax.vmap(
+                lambda x, y: kernels.mul_decrypt_pallas_tiled_ragged(x, y, mask)
+            )(a, b)
+            return out, False, 0, zp, bits
+        if kernels.mul_ragged_supported(t1):
+            _path("mul_dec.b_jm_ragged")
+            zp = kernels.ragged_padded(t1) - t1
+            out, bits = jax.vmap(
+                lambda x, y: kernels.mul_decrypt_pallas_tiled_ragged(y, x, mask)
+            )(a, b)
+            return out, True, zp, 0, bits
+        if 1 < t2 <= _JMAJOR_XLA_MAX_T2:
+            _path("mul_dec.b_jm_xla")
+            out, bits = _jit_staged_mul_decrypt("jm_xla", False)(a, b, mask)
+            return out, True, 0, 0, bits
+    _path("mul_dec.b_xla")
+    out, bits = _jit_staged_mul_decrypt("xla", False)(a, b, mask)
+    return out, False, 0, 0, bits
 
 
 def mul_decrypt_batched(a: jax.Array, b: jax.Array, mask: jax.Array):
-    """Batched fused multiply+decrypt: [B,W,t1] x [B,W,t2] ->
-    ([B,W,t1*t2] i-major, parity uint32[B]) — element i of the output is the
-    cross product of the operands' elements i plus ITS decrypt parity, all
-    in one pass per element (vmapped fused Pallas kernels; Pallas prepends a
-    batch grid dimension, per-step VMEM blocks unchanged)."""
+    """Batched fused multiply+decrypt in CANONICAL layout: [B,W,t1] x
+    [B,W,t2] -> ([B,W,t1*t2] i-major, parity uint32[B]).  Callers that track
+    order tags should use `mul_decrypt_batched_auto`, which serves every
+    shape class fused."""
     t1, t2 = a.shape[-1], b.shape[-1]
     batch = a.shape[0]
     if (
@@ -265,7 +412,7 @@ def mul_decrypt_batched(a: jax.Array, b: jax.Array, mask: jax.Array):
             _path("mul_dec.b_tiled")
             return jax.vmap(lambda x, y: kernels.mul_decrypt_pallas_tiled(x, y, mask))(a, b)
     _path("mul_dec.b_xla")
-    return _jit_core_mul_decrypt_batched()(a, b, mask)
+    return _jit_staged_mul_decrypt("xla", False)(a, b, mask)
 
 
 def mul_chunks_batched(a: jax.Array, b: jax.Array) -> tuple[jax.Array, bool, int, int]:
@@ -363,8 +510,28 @@ def permute(words: jax.Array, plan) -> jax.Array:
     return pb.apply_benes(words, plan)
 
 
+@functools.cache
+def _jit_permute_decrypt(n: int, n_pad: int, deltas, rows, use_pallas: bool):
+    """ONE cached jit for staged permute+decrypt.  The plan's static schedule
+    (deltas/rows) keys the cache; the per-permutation masks enter as a traced
+    argument, so every same-size plan shares one compilation."""
+    from csgn_tpu.ops import permute_benes as pb
+
+    @jax.jit
+    def pd(words, masks, mask):
+        plan = pb.BenesPlan(n=n, n_pad=n_pad, deltas=deltas, masks=masks, rows=rows)
+        out = (
+            pb.apply_benes_pallas(words, plan)
+            if use_pallas
+            else pb.apply_benes(words, plan)
+        )
+        return out, core.decrypt_parity(out, mask)
+
+    return pd
+
+
 def permute_decrypt(words: jax.Array, plan, mask: jax.Array):
-    """Permutation + decrypt in one dispatch: ``(permuted [W, C], parity)``.
+    """Permutation + decrypt in ONE jit dispatch: ``(permuted [W, C], parity)``.
 
     `mask` must be the key matching the OUTPUT (key-transform workflow: the
     permuted key's mask).  Bit-exact to `permute` + `decrypt_parity`.
@@ -375,11 +542,18 @@ def permute_decrypt(words: jax.Array, plan, mask: jax.Array):
     (`pb.apply_benes_decrypt_pallas`) MEASURED SLOWER on chip (2.29 ms vs
     2.20 ms staged at 2^20 chunks; artifacts/permdec_r3.out): the in-kernel
     eq-all cross-sublane reduce costs more VPU time than the ~0.3 ms XLA
-    read it avoids.  So this routes the STAGED pipeline (fused-Beneš Pallas
-    permute + speed-of-light XLA decrypt) under one jit; the fused kernel
-    stays available and tested for payloads that skip materializing the
-    permuted output.
+    read it avoids.  So this jits the STAGED pipeline (fused-Beneš Pallas
+    permute + speed-of-light XLA decrypt) as one dispatch (one ~27 ms tunnel
+    round trip, not two); the fused kernel stays available and tested for
+    payloads that skip materializing the permuted output.
     """
-    _path("permute_dec.staged")
-    out = permute(words, plan)
-    return out, _jit_core_decrypt()(out, mask)
+    from csgn_tpu.ops import permute_benes as pb
+
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and words.ndim == 2
+        and words.shape[-1] >= pb.BENES_PALLAS_MIN_C
+    )
+    _path("permute_dec.staged_pallas" if use_pallas else "permute_dec.staged_xla")
+    pd = _jit_permute_decrypt(plan.n, plan.n_pad, plan.deltas, plan.rows, use_pallas)
+    return pd(words, jnp.asarray(plan.masks), mask)

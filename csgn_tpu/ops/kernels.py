@@ -32,6 +32,7 @@ __all__ = [
     "mul_chunks_pallas_tiled_ragged",
     "mul_decrypt_pallas",
     "mul_decrypt_pallas_tiled",
+    "mul_decrypt_pallas_tiled_ragged",
     "decrypt_parity_pallas",
     "MUL_PALLAS_MIN_OUT",
 ]
@@ -485,6 +486,89 @@ def mul_chunks_pallas_tiled_ragged(a: jax.Array, b: jax.Array) -> jax.Array:
         ),
         interpret=_interpret(),
     )(ag, b)
+
+
+@functools.partial(jax.jit, static_argnames=("return_count",))
+def mul_decrypt_pallas_tiled_ragged(
+    a: jax.Array, b: jax.Array, mask: jax.Array, *, return_count: bool = False
+):
+    """Fused `mul_chunks_pallas_tiled_ragged` + decrypt: returns
+    (prod [W, t1*t2p] with t2p = ragged_padded(t2), parity).
+
+    Same blocking as the unfused ragged kernel (b-tile outermost, (W, BT)
+    output blocks, boundary tile zero-masked).  The per-step match count is
+    the a-column's match bit times the tile's VALID matching b-lanes — pad
+    lanes are excluded by the same `j*BT + lane < t2` predicate that zeroes
+    them in the output, so garbage read past b's end by the clamped DMA can
+    never contribute.  Bit-exact to `core.decrypt_parity` over the padded
+    product (pad chunks are all-zero and parity-neutral since d >= 1); covers
+    the unaligned band of the flagship multiply-then-decrypt pipeline
+    (reference src/Ciphertext.cpp:153-163 -> src/SecretKey.cpp:104-147) that
+    the flat/tiled fused kernels cannot (they need t2 % 128 == 0).
+    ``return_count`` as in `mul_decrypt_pallas`.
+    """
+    w, t1 = a.shape
+    _, t2 = b.shape
+    bt = ragged_bt(t2)
+    t2p = _round_up(t2, bt)
+    ag = a.T.reshape(t1, w, 1)
+    mask_c = mask.reshape(w, 1)
+    last = t2 // bt                                         # ragged tile index
+
+    def kern(a_ref, b_ref, m_ref, o_ref, p_ref, acc_ref):
+        j, i = pl.program_id(0), pl.program_id(1)
+
+        @pl.when((j == 0) & (i == 0))
+        def _():
+            acc_ref[0] = 0
+
+        av = a_ref[0]                                       # (W, 1)
+        bv = b_ref[:]                                       # (W, BT)
+        m = m_ref[:]
+        o_ref[:] = av & bv
+        ma = jnp.all((av & m) == m)                         # scalar bool
+        mb = jnp.all((bv & m) == m, axis=0, keepdims=True)  # (1, BT)
+        if t2 % bt:
+            @pl.when(j == last)
+            def _():
+                lanes = jax.lax.broadcasted_iota(jnp.int32, (w, bt), 1)
+                valid = (j * bt + lanes) < t2
+                o_ref[:] = jnp.where(valid, av & bv, jnp.uint32(0))
+
+            # Pad lanes must not count: beyond b's end the clamped DMA reads
+            # unspecified bytes that could spuriously match the mask.
+            lanes1 = jax.lax.broadcasted_iota(jnp.int32, (1, bt), 1)
+            mb = mb & ((j * bt + lanes1) < t2)
+        acc_ref[0] += ma.astype(jnp.int32) * jnp.sum(mb.astype(jnp.int32))
+
+        @pl.when((j == pl.num_programs(0) - 1) & (i == pl.num_programs(1) - 1))
+        def _():
+            p_ref[0] = acc_ref[0]
+
+    prod, parity = pl.pallas_call(
+        kern,
+        out_shape=[
+            _out_struct((w, t1 * t2p), jnp.uint32, ag, b),
+            _out_struct((1,), jnp.int32, ag, b, mask_c),
+        ],
+        grid=(t2p // bt, t1),
+        in_specs=[
+            pl.BlockSpec((1, w, 1), lambda j, i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bt), lambda j, i: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda j, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (w, bt), lambda j, i: (0, i * (t2p // bt) + j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=_interpret(),
+    )(ag, b, mask_c)
+    if return_count:
+        return prod, parity[0]
+    return prod, (parity[0] & 1).astype(jnp.uint32)
 
 
 # ---------------------------------------------------------------------------

@@ -179,12 +179,17 @@ class SecretKey:
         SecretKey.cpp:126-140) staged costs one product write plus one product
         read; the fused Pallas kernel accumulates the decrypt parity while
         writing the product, halving HBM traffic (ops/kernels.py
-        `mul_decrypt_pallas`).  Bit-exact to ``self.decrypt(c1 * c2)``; the
-        returned product is a normal Ciphertext (canonical relative to the
-        operands' physical order, with the combined order tag).
+        `mul_decrypt_pallas`).  Routing covers the FULL `*` shape envelope
+        (`ops.dispatch.mul_decrypt_auto`: canonical, swapped j-major, and
+        ragged fused kernels — the parity is chunk-order-independent and
+        pad-neutral), so unaligned chain shapes stay fused too.  Bit-exact to
+        ``self.decrypt(c1 * c2)``; the returned product is a normal
+        Ciphertext carrying the combined order tag (canonical physical order
+        under `set_eager_order(True)`, like ``*``).
         """
         if c1.ctx != self.ctx or c2.ctx != self.ctx:
             raise ValueError("ciphertext context mismatch")
+        from csgn_tpu import ciphertext as ct_mod
         from csgn_tpu.ops import order
 
         t1, t2 = c1.chunks, c2.chunks
@@ -192,15 +197,25 @@ class SecretKey:
             "key.mul_and_decrypt", chunks_in=t1 + t2, chunks_out=t1 * t2,
             bytes_moved=self.ctx.chunk_count_bytes(t1 + t2 + t1 * t2),
         ):
-            out, parity = dispatch.mul_decrypt(c1.wt, c2.wt, jnp.asarray(self._mask))
-            tag = order.cross_logical(c1.logical, c2.logical, t1, t2, jmajor=False)
+            mask = jnp.asarray(self._mask)
+            if ct_mod._EAGER_ORDER:
+                a, b = c1.canonical(), c2.canonical()
+                out, parity = dispatch.mul_decrypt(a.wt, b.wt, mask)
+                return Ciphertext(out, self.ctx), Plaintext(int(parity))
+            out, jmajor, zp_a, zp_b, parity = dispatch.mul_decrypt_auto(
+                c1.wt, c2.wt, mask
+            )
+            la = order.extend_with_pads(c1.logical, t1, zp_a)
+            lb = order.extend_with_pads(c2.logical, t2, zp_b)
+            tag = order.cross_logical(la, lb, t1, t2, jmajor=jmajor)
             pad = int(out.shape[-1]) - t1 * t2
             return Ciphertext(out, self.ctx, tag, pad), Plaintext(int(parity))
 
     def mul_and_decrypt_batch(self, cb1, cb2):
         """Batched fused multiply+decrypt: ``(cb1 * cb2, bits uint32[B])`` —
         every element's product and its decrypt parity in one pass per
-        element (vmapped fused kernels, `ops.dispatch.mul_decrypt_batched`).
+        element (vmapped fused kernels over the full shape envelope,
+        `ops.dispatch.mul_decrypt_batched_auto`).
         Bit-exact to ``self.decrypt_batch((cb1 * cb2))``.
         """
         from csgn_tpu.batch import CiphertextBatch
@@ -218,10 +233,12 @@ class SecretKey:
             chunks_out=cb1.batch * t1 * t2,
             bytes_moved=cb1.batch * self.ctx.chunk_count_bytes(t1 + t2 + t1 * t2),
         ):
-            out, bits = dispatch.mul_decrypt_batched(
+            out, jmajor, zp_a, zp_b, bits = dispatch.mul_decrypt_batched_auto(
                 cb1.wt, cb2.wt, jnp.asarray(self._mask)
             )
-            tag = order.cross_logical(cb1.logical, cb2.logical, t1, t2, jmajor=False)
+            la = order.extend_with_pads(cb1.logical, t1, zp_a)
+            lb = order.extend_with_pads(cb2.logical, t2, zp_b)
+            tag = order.cross_logical(la, lb, t1, t2, jmajor=jmajor)
             pad = int(out.shape[-1]) - t1 * t2
             return CiphertextBatch(out, self.ctx, tag, pad), bits
 

@@ -100,6 +100,56 @@ def main() -> int:
         if not ok:
             fails.append(("mul_auto", t1, t2))
 
+    # FUSED multiply+decrypt over the full auto envelope (round 4): every
+    # shape class of mul_chunks_auto routed through SecretKey.mul_and_decrypt;
+    # canonicalized product + parity vs the staged oracle.  Expected routes
+    # (printed from the dispatch counters): jm_flat, jm_tiled, ragged,
+    # jm_ragged, jm_xla staged, grouped staged, xla staged.
+    from csgn_tpu.utils.metrics import op_metrics
+
+    for t1, t2 in [(4096, 5), (131072, 3), (7, 70000), (100000, 3),
+                   (1000, 20), (513, 129), (37, 63)]:
+        a_np = np.asarray(rand_wc(t1)).copy()
+        b_np = np.asarray(rand_wc(t2)).copy()
+        a_np[:, rng.choice(t1, min(3, t1), replace=False)] |= sk.mask[:, None]
+        b_np[:, rng.choice(t2, min(5, t2), replace=False)] |= sk.mask[:, None]
+        ca, cb = Ciphertext(jnp.asarray(a_np), ctx), Ciphertext(jnp.asarray(b_np), ctx)
+        before = {k: v["calls"] for k, v in op_metrics().snapshot().items()
+                  if k.startswith("dispatch.mul_dec")}
+        prod, par = sk.mul_and_decrypt(ca, cb)
+        after = {k: v["calls"] for k, v in op_metrics().snapshot().items()
+                 if k.startswith("dispatch.mul_dec")}
+        route = ",".join(k.split(".", 1)[1] for k in after
+                         if after[k] > before.get(k, 0)) or "cached"
+        want_prod = jax.jit(core.mul_chunks)(ca.wt, cb.wt)
+        ok = np.array_equal(prod.chunk_major().T, np.asarray(want_prod)) and int(
+            par
+        ) == int(jax.jit(core.decrypt_parity)(want_prod, mask))
+        print(f"mul_and_decrypt auto {t1}x{t2} [{route}]: exact={ok} parity={int(par)}")
+        if not ok:
+            fails.append(("mul_and_decrypt_auto", t1, t2))
+
+    # chained fused: a pad/tag-carrying accumulator (real chain shape) into
+    # the fused pipeline — the exact class round 3 silently staged.
+    # (20000, 3) routes jm_ragged so the accumulator carries pads + a j-major
+    # tag; the follow-up fused multiply must stay exact through them.
+    accs = Ciphertext(rand_wc(20000), ctx) * Ciphertext(rand_wc(3), ctx)
+    tiny_np = np.asarray(rand_wc(2)).copy()
+    tiny_np[:, :1] |= sk.mask[:, None]
+    tiny = Ciphertext(jnp.asarray(tiny_np), ctx)
+    prod, par = sk.mul_and_decrypt(accs, tiny)
+    want_prod = jax.jit(core.mul_chunks)(
+        jnp.asarray(accs.canonical().wt), tiny.wt
+    )
+    ok = (
+        accs.pad > 0
+        and np.array_equal(prod.chunk_major().T, np.asarray(want_prod))
+        and int(par) == int(jax.jit(core.decrypt_parity)(want_prod, mask))
+    )
+    print(f"mul_and_decrypt chained(tagged/padded, pad={accs.pad}) 60000x2: exact={ok}")
+    if not ok:
+        fails.append("mul_and_decrypt_chained")
+
     # batched k-permutation fused kernel vs per-element oracle
     from csgn_tpu.ops.permute_benes import apply_benes_batch_pallas, stack_plans
 
