@@ -76,12 +76,32 @@ def load_secret_key(path) -> SecretKey:
 
 
 def save_permutation(path, p: Permutation) -> None:
-    np.savez(path, kind=np.array("permutation"), perm=p.perm)
+    np.savez(
+        path,
+        kind=np.array("permutation"),
+        meta=np.array([FORMAT_VERSION, p.n], dtype=np.int64),
+        perm=p.perm,
+    )
 
 
 def load_permutation(path) -> Permutation:
     with np.load(path) as z:
+        _check_perm_entry(z, "")
         return Permutation(z["perm"])
+
+
+def _check_perm_entry(z, prefix: str) -> None:
+    """Validate a stored permutation's version + length (round-3 files carried
+    no meta — treated as version 1, which is what they were written as)."""
+    if f"{prefix}meta" in z.files:
+        meta = z[f"{prefix}meta"]
+        version, n = int(meta[0]), int(meta[1])
+        if version != FORMAT_VERSION:
+            raise ValueError(f"unsupported csgn permutation version {version}")
+        if n != len(z[f"{prefix}perm"]):
+            raise ValueError(
+                f"permutation length {len(z[f'{prefix}perm'])} != recorded n {n}"
+            )
 
 
 # -- whole-computation checkpoints ------------------------------------------
@@ -89,7 +109,10 @@ def load_permutation(path) -> Permutation:
 _SAVERS = {
     Ciphertext: ("ciphertext", lambda o: {"words": o.chunk_major(), "meta": _meta(o.ctx)}),
     SecretKey: ("secret_key", lambda o: {"indices": o.indices, "meta": _meta(o.ctx)}),
-    Permutation: ("permutation", lambda o: {"perm": o.perm}),
+    Permutation: (
+        "permutation",
+        lambda o: {"perm": o.perm, "meta": np.array([FORMAT_VERSION, o.n], np.int64)},
+    ),
 }
 
 
@@ -176,6 +199,16 @@ def save_state_sharded(dirpath, objects: dict) -> None:
             # from whichever process owns them.
             seen = set()
             for dev, index in wt.sharding.devices_indices_map((w, c)).items():
+                rows = index[-2]
+                if (rows.start or 0) != 0 or rows.stop not in (None, w):
+                    # Blocks are deduped by column start and files named by it
+                    # alone; a word-axis (or 2-D) sharding would make multiple
+                    # shards write the same file with partial rows.
+                    raise ValueError(
+                        f"{name!r}: sharded checkpoint requires chunk-axis-only "
+                        f"sharding (P(None, axis)); got a shard covering word "
+                        f"rows [{rows.start}, {rows.stop}) of {w}"
+                    )
                 cols = index[-1]
                 start = cols.start or 0
                 stop = cols.stop if cols.stop is not None else c
@@ -280,6 +313,7 @@ def load_state(path) -> dict:
                 ctx = _ctx_from_meta(z[f"{name}/meta"])
                 out[name] = SecretKey(ctx, z[f"{name}/indices"])
             elif kind == "permutation":
+                _check_perm_entry(z, f"{name}/")
                 out[name] = Permutation(z[f"{name}/perm"])
             else:
                 raise ValueError(f"unknown kind {kind!r} for {name!r}")

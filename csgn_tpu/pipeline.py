@@ -32,12 +32,20 @@ from csgn_tpu.parallel.ops import (
 from csgn_tpu.plaintext import Plaintext
 
 __all__ = [
+    "HBM_BUDGET_BYTES",
     "chain_chunks",
     "mul_chain",
     "mul_chain_decrypt",
     "mul_chain_sharded",
     "mul_chain_sharded_decrypt",
 ]
+
+# Default per-chain intermediate budget: v5e HBM is 16 GiB; leave headroom
+# for the chain's inputs and XLA workspace.  `mul_chain`/`mul_chain_decrypt`
+# refuse chains whose peak live intermediates exceed it (the fold runs inside
+# ONE jit, so there is no opportunity to spill between steps) — callers with
+# more (or pooled) memory pass a larger budget or None to opt out.
+HBM_BUDGET_BYTES = 12 << 30
 
 
 def chain_chunks(chunk_counts: list[int]) -> int:
@@ -48,12 +56,36 @@ def chain_chunks(chunk_counts: list[int]) -> int:
     return out
 
 
-def mul_chain(cts: list[Ciphertext]) -> Ciphertext:
+def _check_chain_budget(ctx, counts: list[int], budget_bytes: int | None) -> None:
+    """Closed-form peak-live-bytes check for the fused fold: during step k
+    the input accumulator and its product coexist (acc * (1 + t_k) chunks)."""
+    if budget_bytes is None or len(counts) < 2:
+        return
+    acc = counts[0]
+    peak = acc
+    for t in counts[1:]:
+        peak = max(peak, acc * (1 + t))
+        acc *= t
+    need = ctx.chunk_count_bytes(peak)
+    if need > budget_bytes:
+        raise ValueError(
+            f"chain intermediates peak at ~{need / 2**30:.2f} GiB "
+            f"({peak} live chunks) > budget {budget_bytes / 2**30:.2f} GiB; "
+            "shard the chain (mul_chain_sharded), reset growth mid-chain "
+            "(SecretKey.recrypt), or decrypt without materializing "
+            "(SecretKey.decrypt_circuit).  Pass budget_bytes=None to override."
+        )
+
+
+def mul_chain(
+    cts: list[Ciphertext], *, budget_bytes: int | None = HBM_BUDGET_BYTES
+) -> Ciphertext:
     """Left-fold homomorphic product in one jitted dispatch.
 
     Chunk ordering matches the reference's sequential `operator*` exactly
     (i-major at each step), so the result is bit-identical to folding with
-    `*` one op at a time.
+    `*` one op at a time.  Raises if the fold's peak live intermediates
+    exceed ``budget_bytes`` (see `HBM_BUDGET_BYTES`).
     """
     if not cts:
         raise ValueError("empty chain")
@@ -61,6 +93,7 @@ def mul_chain(cts: list[Ciphertext]) -> Ciphertext:
     for ct in cts[1:]:
         if ct.ctx != ctx:
             raise ValueError("context mismatch in chain")
+    _check_chain_budget(ctx, [ct.chunks for ct in cts], budget_bytes)
 
     @jax.jit
     def fold(*wts):
@@ -76,12 +109,15 @@ def mul_chain(cts: list[Ciphertext]) -> Ciphertext:
     return Ciphertext(fold(*[ct.canonical().wt for ct in cts]), ctx)
 
 
-def mul_chain_decrypt(cts: list[Ciphertext], sk) -> tuple[Ciphertext, Plaintext]:
+def mul_chain_decrypt(
+    cts: list[Ciphertext], sk, *, budget_bytes: int | None = HBM_BUDGET_BYTES
+) -> tuple[Ciphertext, Plaintext]:
     """`mul_chain` with the FINAL multiply fused with the decrypt — the whole
     chain-and-read-out pipeline in one jit dispatch, and the final (largest)
     product is written once and never re-read (ops/kernels.py
     `mul_decrypt_pallas`).  Returns ``(product, Dec(product))``, bit-exact to
-    ``(mul_chain(cts), sk.decrypt(mul_chain(cts)))``.
+    ``(mul_chain(cts), sk.decrypt(mul_chain(cts)))``.  Raises if peak live
+    intermediates exceed ``budget_bytes`` (see `HBM_BUDGET_BYTES`).
     """
     if not cts:
         raise ValueError("empty chain")
@@ -91,6 +127,7 @@ def mul_chain_decrypt(cts: list[Ciphertext], sk) -> tuple[Ciphertext, Plaintext]
             raise ValueError("context mismatch in chain")
     if sk.ctx != ctx:
         raise ValueError("secret key context mismatch")
+    _check_chain_budget(ctx, [ct.chunks for ct in cts], budget_bytes)
 
     @jax.jit
     def fold(mask, *wts):

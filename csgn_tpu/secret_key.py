@@ -164,13 +164,29 @@ class SecretKey:
                 raise ValueError("ciphertext context mismatch")
             words = words.wt
         words = jnp.asarray(words)
+        w = self.ctx.words32
         if words.ndim == 3:
+            if words.shape[-2] != w:
+                raise ValueError(
+                    f"decrypt_batch grown payload must be [batch, W={w}, chunks], "
+                    f"got {words.shape}"
+                )
             with op_metrics().record(
                 "key.decrypt_batch", chunks_in=words.shape[0] * words.shape[-1],
                 bytes_moved=words.size * 4,
             ):
                 return _decrypt_parity_jit(words, jnp.asarray(self._mask))
-        return _chunk_matches_jit(words, jnp.asarray(self._mask))
+        if words.ndim != 2 or words.shape[0] != w:
+            raise ValueError(
+                f"decrypt_batch fresh chunks must be [W={w}, batch] "
+                f"(word-major; a transposed [batch, W] input would silently "
+                f"decrypt garbage), got {words.shape}"
+            )
+        with op_metrics().record(
+            "key.decrypt_batch", chunks_in=words.shape[-1],
+            bytes_moved=words.size * 4,
+        ):
+            return _chunk_matches_jit(words, jnp.asarray(self._mask))
 
     def mul_and_decrypt(self, c1: Ciphertext, c2: Ciphertext) -> tuple[Ciphertext, Plaintext]:
         """Fused multiply + decrypt: ``(c1 * c2, Dec(c1 * c2))`` in ONE pass.

@@ -193,27 +193,31 @@ def main() -> int:
 
     nproc = args.nproc
     victim = nproc - 1
-    wd = tempfile.mkdtemp(prefix="fault_demo_")
-    # Ephemeral coordinator port: bind 0, read the assignment, release it.
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
     extra = ["--sharded-ckpt"] if args.sharded_ckpt else []
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-             "--workdir", wd, "--port", str(port), "--nproc", str(nproc)]
-            + extra,
-            env=env,
-        )
-        for i in range(nproc)
-    ]
-    try:
+    # Ephemeral coordinator port: bind 0, read the assignment, release it.
+    # The release leaves a TOCTOU window (another process can claim the port
+    # before jax.distributed's coordinator binds it), so an early worker death
+    # before the fault step retries on a fresh port + fresh workdir.
+    procs, wd, reached = [], None, False
+    for attempt in range(3):
+        wd = tempfile.mkdtemp(prefix="fault_demo_")
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+                 "--workdir", wd, "--port", str(port), "--nproc", str(nproc)]
+                + extra,
+                env=env,
+            )
+            for i in range(nproc)
+        ]
         # Wait until every worker has reached the fault step (the survivors
         # then wedge inside the step's collective, whose last participant is
         # parked on the sentinel wait).
@@ -222,15 +226,24 @@ def main() -> int:
             if all(
                 (pathlib.Path(wd) / f"inflight_{i}").exists() for i in range(nproc)
             ):
+                reached = True
                 break
             if any(p.poll() is not None for p in procs):
-                print("fault demo: FAIL (worker exited early)")
-                return 1
+                break
             time.sleep(0.2)
-        else:
-            print("fault demo: FAIL (never reached the fault step)")
-            return 1
-
+        if reached:
+            break
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        for p in procs:
+            p.wait(timeout=30)
+        print(f"fault demo: attempt {attempt + 1} died before the fault step; "
+              "retrying on a fresh port", flush=True)
+    if not reached:
+        print("fault demo: FAIL (never reached the fault step)")
+        return 1
+    try:
         time.sleep(0.5)  # let the survivors sink into the collective
         procs[victim].send_signal(signal.SIGKILL)  # the injected host loss
         procs[victim].wait(timeout=30)

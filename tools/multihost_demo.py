@@ -91,24 +91,33 @@ def main() -> int:
     if args.worker is not None:
         return worker(args.worker, args.port, args.nproc, args.t1, args.t2)
 
-    with socket.socket() as s:  # ephemeral coordinator port
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={LOCAL_DEVICES}"
     env.pop("PYTHONPATH", None)  # drop the axon sitecustomize: pure-CPU run
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(i),
-             "--port", str(port), "--nproc", str(args.nproc),
-             "--t1", str(args.t1), "--t2", str(args.t2)],
-            env=env,
-        )
-        for i in range(args.nproc)
-    ]
-    rc = max(p.wait(timeout=600) for p in procs)
+    for attempt in range(3):
+        # Ephemeral coordinator port: bind 0, read the assignment, release.
+        # The release leaves a TOCTOU window (another process can claim the
+        # port before jax.distributed's coordinator binds it), so a failed
+        # run retries on a fresh port before being declared a real failure.
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(i),
+                 "--port", str(port), "--nproc", str(args.nproc),
+                 "--t1", str(args.t1), "--t2", str(args.t2)],
+                env=env,
+            )
+            for i in range(args.nproc)
+        ]
+        rc = max(p.wait(timeout=600) for p in procs)
+        if rc == 0:
+            break
+        print(f"multihost demo: attempt {attempt + 1} rc={rc}; "
+              "retrying on a fresh port", flush=True)
     print("multihost demo:", "OK" if rc == 0 else "FAIL")
     return rc
 
