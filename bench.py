@@ -17,13 +17,19 @@ The reference C++ baseline, measured in this environment (BASELINE.md):
 
 Measurement discipline (docs/performance.md): the remote-TPU tunnel has
 ~27 ms dispatch RTT with ±2 ms jitter and on-chip rates drift run to run, so
-every metric is measured in G interleaved groups (fused/mul/dec/... cycled
+every metric is measured in interleaved groups (fused/mul/dec/... cycled
 INSIDE each group, RTT re-measured per group), K ops amplified per dispatch,
-and the best group median is reported with the cross-group spread printed.
-A spread >10% on the headline metric triggers a loud stderr banner (the JSON
-line is still emitted — the driver needs a result either way).
+and the best group median is reported.  The printed spread is how tightly
+the best THREE group medians agree ((3rd_best - best)/best) — the confidence
+interval of the reported number, not the full drift band (hour-scale drift
+makes max-min unbounded and non-convergent).  Groups EXTEND ADAPTIVELY
+(up to MAX_GROUPS / a wall-clock cap) until the watched metric's spread
+drops below 10%, so the driver artifact is decision-grade without re-runs;
+if it still can't converge a loud banner prints (the JSON line is emitted
+either way — the driver needs a result).
 
-All diagnostics go to stderr; stdout carries exactly the one JSON line.
+All diagnostics go to stderr; stdout carries exactly the one JSON line
+(sub-metric rates + spreads ride along as extra keys in the same object).
 """
 
 from __future__ import annotations
@@ -37,9 +43,12 @@ import numpy as np
 REF_MUL_US_PER_CHUNK = 5.5e3 / 16384    # BASELINE.md: 128x128-chunk multiply
 REF_DEC_US_PER_CHUNK = 23.3e3 / 16384   # BASELINE.md: 16384-chunk decrypt
 
-GROUPS = 4        # interleaved measurement groups
+GROUPS = 4        # initial interleaved measurement groups
+MAX_GROUPS = 10   # adaptive-extension bound
+MAX_EXTEND_S = 240  # wall-clock bound on adaptive extension
 REPS = 5          # timed repetitions per metric per group
 K = 8             # ops amplified per dispatch (fold-proof; see below)
+TARGET_SPREAD = 0.10
 
 
 def log(*args):
@@ -56,24 +65,47 @@ def median_time(fetch, reps):
     return sorted(ts)[len(ts) // 2]
 
 
-def interleaved_measure(fetches: dict, groups=GROUPS, reps=REPS, rtt_fetch=None):
+def _stats(ts):
+    """(best, spread): spread = agreement of the best three group medians."""
+    s = sorted(ts)
+    top = s[min(2, len(s) - 1)]
+    return s[0], (top - s[0]) / s[0]
+
+
+def interleaved_measure(
+    fetches: dict, groups=GROUPS, reps=REPS, rtt_fetch=None,
+    watch=None, max_groups=MAX_GROUPS,
+):
     """Measure every metric in every group, cycling metrics INSIDE the group
-    (A/B/C/A/B/C...), re-measuring the RTT baseline per group.  Returns
-    {name: (best_seconds, spread_fraction, [per-group seconds])} where best
-    is the smallest RTT-corrected group median."""
+    (A/B/C/A/B/C...), re-measuring the RTT baseline per group.  With
+    ``watch``, groups keep extending (bounded by ``max_groups`` and
+    MAX_EXTEND_S) until that metric's best-3 spread falls under
+    TARGET_SPREAD.  Returns {name: (best_seconds, spread, [group seconds])}
+    where best is the smallest RTT-corrected group median."""
     for f in fetches.values():
         f()  # warm / compile
     per_group = {k: [] for k in fetches}
-    for g in range(groups):
+
+    def add_group():
         rtt = median_time(rtt_fetch, 5) if rtt_fetch else 0.0
         for name, f in fetches.items():
             per_group[name].append(max(median_time(f, reps) - rtt, 1e-9))
-    out = {}
-    for name, ts in per_group.items():
-        best = min(ts)
-        spread = (max(ts) - best) / best
-        out[name] = (best, spread, ts)
-    return out
+
+    t0 = time.perf_counter()
+    for _ in range(groups):
+        add_group()
+    if watch is not None:
+        while (
+            _stats(per_group[watch])[1] > TARGET_SPREAD
+            and len(per_group[watch]) < max_groups
+            and time.perf_counter() - t0 < MAX_EXTEND_S
+        ):
+            log(f"[extend] {watch} spread "
+                f"{_stats(per_group[watch])[1]*100:.1f}% > "
+                f"{TARGET_SPREAD*100:.0f}%: adding group "
+                f"{len(per_group[watch]) + 1}")
+            add_group()
+    return {name: (*_stats(ts), ts) for name, ts in per_group.items()}
 
 
 def main():
@@ -180,7 +212,8 @@ def main():
         _, ps = jax.lax.scan(step, jnp.uint32(0), None, length=K)
         return ps
 
-    # --- interleaved measurement: fused / staged-mul / staged-dec per group.
+    # --- interleaved measurement: fused / staged-mul / staged-dec per group,
+    # extending adaptively until the headline (fused) spread converges.
     res = interleaved_measure(
         {
             "fused": lambda: np.asarray(fusedK(a, b)),
@@ -188,6 +221,7 @@ def main():
             "dec": lambda: np.asarray(decK(big, mask)),
         },
         rtt_fetch=rtt_fetch,
+        watch="fused",
     )
     t_fused = res["fused"][0] / K
     t_mul = res["mul"][0] / K
@@ -212,11 +246,12 @@ def main():
         f"{dec_us_per_chunk*1e3:.4f} ns/chunk")
 
     headline_spread = res["fused"][1]
-    if headline_spread > 0.10:
+    if headline_spread > TARGET_SPREAD:
         log("=" * 72)
-        log(f"WARNING: headline spread {headline_spread*100:.1f}% > 10% across "
-            f"interleaved groups — tunnel/thermal variance is polluting this "
-            f"run; treat the JSON value as a lower bound and re-run.")
+        log(f"WARNING: headline best-3 spread {headline_spread*100:.1f}% > "
+            f"{TARGET_SPREAD*100:.0f}% even after adaptive extension to "
+            f"{len(res['fused'][2])} groups — tunnel/thermal variance is "
+            f"polluting this run; treat the JSON value as a lower bound.")
         log("=" * 72)
 
     del a, b, big
@@ -259,38 +294,51 @@ def main():
     plan = permute_benes.build_plan(perm, ctx.n)
     pc = 1 << 20 if on_tpu else 1 << 12
     px = jnp.asarray(rng.integers(0, 2**32, (w, pc), dtype=np.uint32) & ctx.valid_mask[:, None])
-    papply = (
-        (lambda x: permute_benes.apply_benes_pallas(x, plan))
-        if on_tpu
-        else (lambda x: permute_benes.apply_benes(x, plan))
-    )
+    if on_tpu:
+        def papply(x, bc):
+            return permute_benes.apply_benes_pallas(x, plan, block_c=bc)
+    else:
+        def papply(x, bc):
+            return permute_benes.apply_benes(x, plan)
 
     small_in = px[:, :256]
     assert np.array_equal(
-        np.asarray(jax.jit(papply)(small_in)),
+        np.asarray(jax.jit(lambda x: papply(x, 2048))(small_in)),
         np.asarray(core.permute_chunks(small_in, jnp.asarray(perm), ctx.n)),
     ), "permute kernel mismatch vs oracle"
 
     # Unrolled chain: a lax.scan carry forces an extra whole-array copy per
     # iteration on this backend (measured ~20% overhead), and real permutation
-    # chains are unrolled jit calls anyway.
-    @jax.jit
-    def permK(x):
-        y = x
-        for _ in range(K):
-            y = papply(y)
-        return y[0, 0]
+    # chains are unrolled jit calls anyway.  block_c is auto-tuned AT BENCH
+    # TIME: the candidates run interleaved in the same groups, so the pick is
+    # drift-proof (round-4 VERDICT item 4).
+    def make_permK(bc):
+        @jax.jit
+        def permK(x):
+            y = x
+            for _ in range(K):
+                y = papply(y, bc)
+            return y[0, 0]
 
+        return permK
+
+    perm_bcs = (2048, 4096, 8192) if on_tpu else (2048,)
+    perm_fns = {f"perm{bc}": make_permK(bc) for bc in perm_bcs}
     aux = interleaved_measure(
-        {"enc": lambda: np.asarray(encK(bits)), "perm": lambda: np.asarray(permK(px))},
-        groups=2, reps=3, rtt_fetch=rtt_fetch,
+        {"enc": lambda: np.asarray(encK(bits)),
+         **{name: (lambda f=f: np.asarray(f(px))) for name, f in perm_fns.items()}},
+        groups=3, reps=3, rtt_fetch=rtt_fetch, watch="enc", max_groups=6,
     )
     t_enc = aux["enc"][0] / enc_k
-    t_perm = aux["perm"][0] / K
+    best_perm = min((aux[f"perm{bc}"][0], bc) for bc in perm_bcs)
+    t_perm, perm_bc = best_perm[0] / K, best_perm[1]
     log(f"enc {enc_batch}: {t_enc*1e3:.2f} ms  {enc_batch/t_enc/1e9:.2f} B enc/s  "
         f"{enc_batch*w*4/t_enc/1e9:.0f} GB/s write  spread {aux['enc'][1]*100:.1f}%")
-    log(f"perm {pc}: {t_perm*1e3:.2f} ms  {pc*w*4/t_perm/1e9:.0f} GB/s packed  "
-        f"spread {aux['perm'][1]*100:.1f}%")
+    for bc in perm_bcs:
+        log(f"perm {pc} block_c={bc}: {aux[f'perm{bc}'][0]/K*1e3:.2f} ms  "
+            f"{pc*w*4/(aux[f'perm{bc}'][0]/K)/1e9:.0f} GB/s packed  "
+            f"spread {aux[f'perm{bc}'][1]*100:.1f}%")
+    log(f"perm winner: block_c={perm_bc}  {pc*w*4/t_perm/1e9:.0f} GB/s packed")
 
     # --- headline: fused mul+dec throughput per chunk vs reference C++.
     # The workload is the reference's multiply-then-decrypt pipeline; ours
@@ -307,6 +355,20 @@ def main():
                 "value": round(value, 3),
                 "unit": "M chunk-ops/s",
                 "vs_baseline": round(speedup, 1),
+                # sub-metrics so rounds compare without stderr archaeology
+                # (spreads are best-3 group agreement, percent)
+                "fused_gbps": round(fused_gbps, 1),
+                "fused_spread_pct": round(res["fused"][1] * 100, 1),
+                "groups": len(res["fused"][2]),
+                "mul_gbps": round(mul_gbps, 1),
+                "mul_spread_pct": round(res["mul"][1] * 100, 1),
+                "dec_gbps": round(dec_gbps, 1),
+                "dec_spread_pct": round(res["dec"][1] * 100, 1),
+                "enc_b_per_s": round(enc_batch / t_enc / 1e9, 2),
+                "enc_spread_pct": round(aux["enc"][1] * 100, 1),
+                "perm_gbps": round(pc * w * 4 / t_perm / 1e9, 1),
+                "perm_block_c": perm_bc,
+                "perm_spread_pct": round(aux[f"perm{perm_bc}"][1] * 100, 1),
             }
         )
     )

@@ -28,5 +28,10 @@ def test_bench_cpu_smoke():
     lines = [l for l in proc.stdout.strip().splitlines() if l.strip()]
     assert len(lines) == 1, f"stdout must be exactly one JSON line, got: {proc.stdout!r}"
     data = json.loads(lines[0])
-    assert set(data) == {"metric", "value", "unit", "vs_baseline"}
+    # driver keys plus sub-metric keys (rates + best-3 spreads per op)
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(data)
+    for sub in ("fused_gbps", "mul_gbps", "dec_gbps", "enc_b_per_s",
+                "perm_gbps", "perm_block_c", "fused_spread_pct", "groups"):
+        assert sub in data, sub
     assert data["value"] > 0
+    assert data["groups"] >= 4
