@@ -190,6 +190,10 @@ def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
         x = jnp.pad(x, pad)
 
     for delta, mask in zip(plan.deltas, plan.masks):
+        if isinstance(mask, np.ndarray) and not mask.any():
+            # All-zero mask = identity stage: free skip for structured perms.
+            # (Guarded: dispatch.permute_decrypt traces masks as jit args.)
+            continue
         m = jnp.asarray(mask)[..., :, None]
         if delta < 32:
             d = jnp.uint32(delta)
@@ -257,6 +261,8 @@ def apply_benes_batch(words: jax.Array, stacked: StackedPlans) -> jax.Array:
     m_all = jnp.asarray(stacked.masks)
 
     for s, delta in enumerate(stacked.deltas):
+        if isinstance(stacked.masks, np.ndarray) and not stacked.masks[:, s].any():
+            continue  # identity stage across ALL k plans
         m = m_all[:, s, :, None]                      # [k, WP, 1]
         if delta < 32:
             d = jnp.uint32(delta)
@@ -305,6 +311,9 @@ def apply_benes_decrypt_pallas(
     deltas = plan.deltas
     n_stages = len(deltas)
     rows = plan.rows if len(plan.rows) == n_stages else (wp,) * n_stages
+    stage_on = tuple(
+        not (isinstance(m, np.ndarray) and not m.any()) for m in plan.masks
+    )
     live_in = min(wp, ((w + 7) // 8) * 8)
 
     def kern(m_ref, dk_ref, x_ref, o_ref, p_ref, acc_ref):
@@ -317,6 +326,8 @@ def apply_benes_decrypt_pallas(
         live = min(live_in, rows[0]) if n_stages else live_in
         x = x_ref[0:live]
         for s, delta in enumerate(deltas):
+            if not stage_on[s]:
+                continue  # all-zero mask: identity stage, no VPU work
             rs = rows[s]
             if rs > live:
                 x = jnp.concatenate(
@@ -402,12 +413,18 @@ def apply_benes_batch_pallas(
     deltas = stacked.deltas
     n_stages = len(deltas)
     rows = stacked.rows
+    stage_on = tuple(
+        not (isinstance(stacked.masks, np.ndarray) and not stacked.masks[:, s].any())
+        for s in range(n_stages)
+    )
     live_in = min(wp, ((w + 7) // 8) * 8)
 
     def kern(m_ref, x_ref, o_ref):
         live = min(live_in, rows[0]) if n_stages else live_in
         x = x_ref[0, 0:live]
         for s, delta in enumerate(deltas):
+            if not stage_on[s]:
+                continue  # all-zero mask: identity stage, no VPU work
             rs = rows[s]
             if rs > live:  # grow the window with known-zero rows
                 x = jnp.concatenate(
@@ -488,6 +505,9 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
     # provably zero, so each stage runs on a leading slice only.  Plans from
     # older builds carry no rows; fall back to full-width stages.
     rows = plan.rows if len(plan.rows) == n_stages else (wp,) * n_stages
+    stage_on = tuple(
+        not (isinstance(m, np.ndarray) and not m.any()) for m in plan.masks
+    )
     live_in = min(wp, ((w + 7) // 8) * 8)  # 8-aligned cover of the input rows
 
     def kern(m_ref, x_ref, o_ref):
@@ -496,6 +516,8 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
         live = min(live_in, rows[0]) if n_stages else live_in
         x = x_ref[0:live]
         for s, delta in enumerate(deltas):
+            if not stage_on[s]:
+                continue  # all-zero mask: identity stage, no VPU work
             rs = rows[s]
             if rs > live:  # grow the window with known-zero rows
                 x = jnp.concatenate(

@@ -202,3 +202,56 @@ def test_secret_key_permute_and_decrypt(ctx):
     np.testing.assert_array_equal(
         np.asarray(pct.wt), np.asarray(ct.apply_permutation(p).wt)
     )
+
+
+@pytest.mark.parametrize("kind", ["identity", "transposition"])
+def test_zero_mask_stage_skip(ctx, kind):
+    """Structured perms route to plans with all-zero (identity) stages; the
+    apply paths skip those at trace time (r4) and must stay bit-exact.  The
+    identity permutation is the extreme case: EVERY stage skips and the
+    kernels degenerate to a copy."""
+    from csgn_tpu.ops.permute_benes import (
+        apply_benes_batch,
+        apply_benes_batch_pallas,
+        apply_benes_decrypt_pallas,
+        apply_benes_pallas,
+        stack_plans,
+    )
+
+    n = ctx.n
+    perm = np.arange(n)
+    if kind == "transposition":
+        perm[3], perm[n - 7] = perm[n - 7], perm[3]
+    plan = build_plan(perm, n)
+    if kind == "identity":
+        assert not plan.masks.any()  # every stage is skippable
+    else:
+        assert (~plan.masks.any(axis=1)).sum() > 0  # some stages skip
+
+    rng_np = np.random.default_rng(11)
+    words = jnp.asarray(
+        rng_np.integers(0, 2**32, (ctx.words32, 256), dtype=np.uint32)
+        & ctx.valid_mask[:, None]
+    )
+    want = core.permute_chunks(words, jnp.asarray(perm), n)
+    np.testing.assert_array_equal(np.asarray(apply_benes(words, plan)), np.asarray(want))
+    np.testing.assert_array_equal(
+        np.asarray(apply_benes_pallas(words, plan, block_c=128)), np.asarray(want)
+    )
+
+    mask = np.zeros(ctx.words32, np.uint32)
+    mask[0] = 1 << 31
+    out, parity = apply_benes_decrypt_pallas(words, plan, jnp.asarray(mask), block_c=128)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))
+    assert int(parity) == int(core.decrypt_parity(want, jnp.asarray(mask)))
+
+    # Stacked batch: identity plan alongside a random one — the all-k skip
+    # only fires where EVERY plan's stage is zero.
+    rnd = build_plan(np.random.default_rng(5).permutation(n), n)
+    stacked = stack_plans([plan, rnd])
+    batch = jnp.stack([words, words])
+    got_b = apply_benes_batch(batch, stacked)
+    got_bp = apply_benes_batch_pallas(batch, stacked, block_c=128)
+    np.testing.assert_array_equal(np.asarray(got_b[0]), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_bp[0]), np.asarray(want))
+    np.testing.assert_array_equal(np.asarray(got_b[1]), np.asarray(got_bp[1]))
