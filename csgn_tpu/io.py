@@ -243,8 +243,11 @@ def load_state_sharded(dirpath, mesh=None, axis: str = "c") -> dict:
     With ``mesh``, every ciphertext payload comes back as a global jax.Array
     sharded ``P(None, axis)`` over the mesh — each process reads ONLY the
     block ranges its new shards cover (mesh shape need not match the one the
-    checkpoint was written on; chunk counts must divide the new axis size).
-    Without ``mesh``, payloads assemble to single-device arrays.
+    checkpoint was written on).  A chunk count that does not divide the new
+    axis size is zero-padded up to it (pad chunks are canonical and
+    parity-neutral, exactly as `parallel.shard_ciphertext` pads), so resume
+    works on ANY mesh.  Without ``mesh``, payloads assemble to single-device
+    arrays at their exact saved size.
     """
     import json
     import pathlib
@@ -266,9 +269,11 @@ def load_state_sharded(dirpath, mesh=None, axis: str = "c") -> dict:
         w, c = ctx.words32, int(ent["chunks"])
         blocks = [(int(s), int(cnt), p / f) for s, cnt, f in ent["blocks"]]
 
-        def read_cols(col0: int, col1: int, _blocks=blocks, _w=w) -> np.ndarray:
+        def read_cols(col0: int, col1: int, _blocks=blocks, _w=w, _c=c) -> np.ndarray:
             """Assemble word-major [W, col1-col0] from overlapping blocks,
-            reading only the needed rows of each memory-mapped block file."""
+            reading only the needed rows of each memory-mapped block file.
+            Columns at or beyond the saved chunk count are zero pad (resume
+            onto a mesh that does not divide the chunk count)."""
             parts = []
             for start, cnt, f in _blocks:
                 lo, hi = max(col0, start), min(col1, start + cnt)
@@ -276,6 +281,8 @@ def load_state_sharded(dirpath, mesh=None, axis: str = "c") -> dict:
                     continue
                 blk = np.load(f, mmap_mode="r")
                 parts.append(np.ascontiguousarray(blk[lo - start : hi - start].T))
+            if col1 > _c and max(col0, _c) < col1:
+                parts.append(np.zeros((_w, col1 - max(col0, _c)), np.uint32))
             got = np.concatenate(parts, axis=1) if parts else np.zeros((_w, 0), np.uint32)
             if got.shape[1] != col1 - col0:
                 raise ValueError(f"{name!r}: blocks do not cover [{col0}, {col1})")
@@ -287,14 +294,16 @@ def load_state_sharded(dirpath, mesh=None, axis: str = "c") -> dict:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             sharding = NamedSharding(mesh, P(None, axis))
+            nd = mesh.shape[axis]
+            cp = -(-c // nd) * nd  # pad to the new mesh (zero chunks)
 
-            def cb(index, _c=c):
+            def cb(index, _cp=cp):
                 cols = index[-1]
                 start = cols.start or 0
-                stop = cols.stop if cols.stop is not None else _c
+                stop = cols.stop if cols.stop is not None else _cp
                 return read_cols(start, stop)
 
-            arr = jax.make_array_from_callback((w, c), sharding, cb)
+            arr = jax.make_array_from_callback((w, cp), sharding, cb)
             out[name] = Ciphertext(arr, ctx)
     return out
 

@@ -130,3 +130,50 @@ def test_sharded_checkpoint_unsharded_payload(tmp_path, small_ctx):
     state = cio.load_state_sharded(d, mesh=chunk_mesh(2))
     np.testing.assert_array_equal(jax.device_get(state["ct"].wt), np.asarray(ct.wt))
     assert int(state["sk"].decrypt(state["ct"])) == 0  # 1 XOR 1
+
+
+def test_sharded_checkpoint_uneven_chunk_count(tmp_path, ctx, rng):
+    """Resume onto a mesh whose size does NOT divide the saved chunk count
+    (r4 VERDICT item 8): load_state_sharded zero-pads the chunk axis to the
+    new mesh — pad chunks are canonical and parity-neutral — so ANY mesh can
+    resume any checkpoint."""
+    import jax.numpy as jnp
+
+    from csgn_tpu.parallel import chunk_mesh, shard_ciphertext
+
+    keys = jax.random.split(rng, 2)
+    sk = SecretKey.generate(ctx, keys[0])
+    c = 67  # divides neither 8, 4, nor 2
+    words = np.random.default_rng(7).integers(
+        0, 2**32, (ctx.words32, c), dtype=np.uint32
+    ).astype(np.uint32) & np.asarray(ctx.valid_mask)[:, None]
+    words[:, [5, 66]] |= sk.mask[:, None]  # 2 matches -> parity 0
+    ct = Ciphertext(jnp.asarray(words), ctx)
+
+    d = tmp_path / "ckpt_uneven"
+    cio.save_state_sharded(d, {"acc": ct, "sk": sk})
+
+    for nd in (8, 4, 2):
+        state = cio.load_state_sharded(d, mesh=chunk_mesh(nd))
+        got = jax.device_get(state["acc"].wt)
+        cp = -(-c // nd) * nd
+        assert got.shape == (ctx.words32, cp) and cp > c
+        np.testing.assert_array_equal(got[:, :c], words)
+        assert not got[:, c:].any()  # pad chunks are zero (canonical)
+        assert int(state["sk"].decrypt(state["acc"])) == 0
+
+    # Meshless load returns the exact saved size.
+    state = cio.load_state_sharded(d)
+    np.testing.assert_array_equal(np.asarray(state["acc"].wt), words)
+
+    # A mesh-sharded save (even shards) also resumes onto a non-dividing
+    # mesh: 64 chunks from 8 devices onto a 3-device mesh (pads to 66).
+    words64 = words[:, :64].copy()
+    ct8 = shard_ciphertext(Ciphertext(jnp.asarray(words64), ctx), chunk_mesh(8))
+    d2 = tmp_path / "ckpt_uneven2"
+    cio.save_state_sharded(d2, {"acc": ct8, "sk": sk})
+    state = cio.load_state_sharded(d2, mesh=chunk_mesh(3))
+    got = jax.device_get(state["acc"].wt)
+    assert got.shape == (ctx.words32, 66)
+    np.testing.assert_array_equal(got[:, :64], words64)
+    assert not got[:, 64:].any()
