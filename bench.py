@@ -322,7 +322,10 @@ def main():
 
         return permK
 
-    perm_bcs = (2048, 4096, 8192) if on_tpu else (2048,)
+    # r4 interleaved sweep (artifacts/perm_sweep_r4.out): 2048 wins (82 GB/s),
+    # 1024 close (79), 4096/8192 clearly lose (62/59) — larger blocks hurt
+    # the VMEM pipeline on this VPU-bound kernel.
+    perm_bcs = (1024, 2048, 4096) if on_tpu else (2048,)
     perm_fns = {f"perm{bc}": make_permK(bc) for bc in perm_bcs}
     aux = interleaved_measure(
         {"enc": lambda: np.asarray(encK(bits)),

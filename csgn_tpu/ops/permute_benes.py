@@ -44,6 +44,17 @@ __all__ = [
 BENES_PALLAS_MIN_C = 8192
 
 
+def _max_block_c(wp: int) -> int:
+    """Largest safe chunk-block width for the fused kernels.
+
+    The stage chain keeps several (wp, bc) u32 working buffers live on the
+    scoped-VMEM stack (Mosaic allocates the per-stage temporaries there);
+    block_c=16384 at wp=64 compiles to a 25 MB scoped allocation vs the
+    16 MB limit (measured r4).  2 MB per working buffer keeps the stack
+    comfortably under the limit at every wp."""
+    return max(128, (2 << 20) // (wp * 4))
+
+
 def _route(perm: np.ndarray) -> list[tuple[int, np.ndarray]]:
     """Beneš looping algorithm: stage list [(delta, swap_mask_bool[N])].
 
@@ -302,7 +313,7 @@ def apply_benes_decrypt_pallas(
 
     w, c = words.shape
     wp = plan.words_pad
-    bc = min(block_c, max(128, c))
+    bc = min(block_c, _max_block_c(wp), max(128, c))
     cp = -(-c // bc) * bc
     x = jnp.asarray(words).astype(jnp.uint32)
     x = jnp.pad(x, ((0, wp - w), (0, cp - c)))
@@ -405,7 +416,7 @@ def apply_benes_batch_pallas(
 
     k, w, c = words.shape
     wp = stacked.words_pad
-    bc = min(block_c, max(128, c))
+    bc = min(block_c, _max_block_c(wp), max(128, c))
     cp = -(-c // bc) * bc
     x = jnp.asarray(words).astype(jnp.uint32)
     x = jnp.pad(x, ((0, 0), (0, wp - w), (0, cp - c)))
@@ -481,11 +492,13 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
 
     The XLA path materializes every stage to HBM (21 round trips); this
     kernel reads and writes each chunk once and is VPU-compute-bound, so each
-    stage runs only on the plan's live row window (`BenesPlan.rows`): at
-    n=1247 that cuts effective ops ~26% (1000 vs 1344 row-stages).  Measured
-    at C=2^20: ~1.5-1.9 ms, 90-115 GB/s packed (block_c=2048; the old
-    full-width kernel at block_c=4096 ran 45-56 GB/s — docs/performance.md
-    has the roofline argument: the VPU, not HBM, is the bound).  Requires
+    stage runs only on the plan's live row window (`BenesPlan.rows`), and
+    all-zero-mask stages are skipped entirely (structured perms).  Measured
+    at C=2^20: 70-115 GB/s packed hour-dependent, block_c=2048 the stable
+    within-job winner (r4 sweep: 82 vs 79/62/59 at 1024/4096/8192; the old
+    full-width kernel ran 45-56 — docs/performance.md has the roofline
+    argument: the VPU, not HBM, is the bound).  block_c is clamped to the
+    scoped-VMEM-safe `_max_block_c(wp)`.  Requires
     C % block_c == 0 padding, handled here; zero-pad chunks permute to zero
     (canonical).
     """
@@ -494,7 +507,7 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
 
     w, c = words.shape
     wp = plan.words_pad
-    bc = min(block_c, max(128, c))
+    bc = min(block_c, _max_block_c(wp), max(128, c))
     cp = -(-c // bc) * bc
     x = jnp.asarray(words).astype(jnp.uint32)
     x = jnp.pad(x, ((0, wp - w), (0, cp - c)))
