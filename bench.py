@@ -65,23 +65,37 @@ def median_time(fetch, reps):
     return sorted(ts)[len(ts) // 2]
 
 
-def _stats(ts):
-    """(best, spread): spread = agreement of the best three group medians."""
+def _stats(ts, stat="best"):
+    """(value, spread).
+
+    stat="best": value = smallest group median; spread = agreement of the
+    best three group medians — right for LONG intervals (>=30 ms) where the
+    per-group RTT correction error is relatively small.
+    stat="median": value = median group; spread = half-width of the middle
+    three groups around the median — robust to RTT-mismatch outliers in
+    BOTH directions, required for short intervals where best-of-groups
+    systematically picks the group whose RTT estimate overshot (r4 lesson:
+    an 8x-amplified 0.9 ms encrypt 'measured' 3134 GB/s that way)."""
     s = sorted(ts)
+    if stat == "median":
+        m = len(s) // 2
+        med = s[m]
+        lo, hi = s[max(0, m - 1)], s[min(len(s) - 1, m + 1)]
+        return med, (hi - lo) / med if med > 0 else 0.0
     top = s[min(2, len(s) - 1)]
     return s[0], (top - s[0]) / s[0]
 
 
 def interleaved_measure(
     fetches: dict, groups=GROUPS, reps=REPS, rtt_fetch=None,
-    watch=None, max_groups=MAX_GROUPS,
+    watch=None, max_groups=MAX_GROUPS, stat="best",
 ):
     """Measure every metric in every group, cycling metrics INSIDE the group
     (A/B/C/A/B/C...), re-measuring the RTT baseline per group.  With
     ``watch``, groups keep extending (bounded by ``max_groups`` and
-    MAX_EXTEND_S) until that metric's best-3 spread falls under
-    TARGET_SPREAD.  Returns {name: (best_seconds, spread, [group seconds])}
-    where best is the smallest RTT-corrected group median."""
+    MAX_EXTEND_S) until that metric's spread falls under TARGET_SPREAD.
+    Returns {name: (seconds, spread, [group seconds])} with ``seconds``
+    picked per ``stat`` (see _stats)."""
     for f in fetches.values():
         f()  # warm / compile
     per_group = {k: [] for k in fetches}
@@ -96,16 +110,16 @@ def interleaved_measure(
         add_group()
     if watch is not None:
         while (
-            _stats(per_group[watch])[1] > TARGET_SPREAD
+            _stats(per_group[watch], stat)[1] > TARGET_SPREAD
             and len(per_group[watch]) < max_groups
             and time.perf_counter() - t0 < MAX_EXTEND_S
         ):
             log(f"[extend] {watch} spread "
-                f"{_stats(per_group[watch])[1]*100:.1f}% > "
+                f"{_stats(per_group[watch], stat)[1]*100:.1f}% > "
                 f"{TARGET_SPREAD*100:.0f}%: adding group "
                 f"{len(per_group[watch]) + 1}")
             add_group()
-    return {name: (*_stats(ts), ts) for name, ts in per_group.items()}
+    return {name: (*_stats(ts, stat), ts) for name, ts in per_group.items()}
 
 
 def main():
@@ -264,13 +278,20 @@ def main():
     sk = SecretKey.generate(ctx, jax.random.key(0))
     enc_batch = 1 << 22 if on_tpu else 1 << 12
     bits = jnp.asarray(rng.integers(0, 2, enc_batch, dtype=np.uint8))
+    # The aux ops are ~1-2 ms each, so the headline K=8 leaves the amplified
+    # interval (~8-16 ms) small against the tunnel's RTT swings; the per-group
+    # RTT correction error then dominates and best-of-groups cherry-picks it
+    # (r4: an 8x encrypt "measured" 3134 GB/s — 4x HBM).  Higher K brings the
+    # interval to ~30 ms, and the aux rows use the MEDIAN group (robust).
+    ENC_K = 32 if on_tpu else 1
+    PERM_K = 16 if on_tpu else K
     if on_tpu:
         from csgn_tpu.ops.encrypt_pallas import encrypt_bits_pallas
 
         @jax.jit
         def encK(bits):
             outs = []
-            for k in range(K):
+            for k in range(ENC_K):
                 o = encrypt_bits_pallas(
                     1234 + k, bits, sk.indices, sk.mask, ctx.valid_mask, ctx.n, ctx.d
                 )
@@ -285,7 +306,7 @@ def main():
                                   ctx.n, ctx.d)
             return o[0, 0][None]
 
-    enc_k = K if on_tpu else 1
+    enc_k = ENC_K
 
     # --- permutation (stderr diagnostic row): fused Beneš on packed chunks.
     from csgn_tpu.ops import permute_benes
@@ -316,7 +337,7 @@ def main():
         @jax.jit
         def permK(x):
             y = x
-            for _ in range(K):
+            for _ in range(PERM_K):
                 y = papply(y, bc)
             return y[0, 0]
 
@@ -331,15 +352,24 @@ def main():
         {"enc": lambda: np.asarray(encK(bits)),
          **{name: (lambda f=f: np.asarray(f(px))) for name, f in perm_fns.items()}},
         groups=3, reps=3, rtt_fetch=rtt_fetch, watch="enc", max_groups=6,
+        stat="median",
     )
     t_enc = aux["enc"][0] / enc_k
     best_perm = min((aux[f"perm{bc}"][0], bc) for bc in perm_bcs)
-    t_perm, perm_bc = best_perm[0] / K, best_perm[1]
-    log(f"enc {enc_batch}: {t_enc*1e3:.2f} ms  {enc_batch/t_enc/1e9:.2f} B enc/s  "
+    t_perm, perm_bc = best_perm[0] / PERM_K, best_perm[1]
+    enc_rate = enc_batch / t_enc / 1e9
+    # Impossible-rate guard: the measured HW-PRNG roofline is 729 GB/s write
+    # = 4.56 B enc/s at W=40.  Anything past roofline+10% is a measurement
+    # artifact (RTT correction error), never a real rate.
+    enc_suspect = on_tpu and enc_rate > 5.0
+    if enc_suspect:
+        log(f"WARNING: enc rate {enc_rate:.2f} B/s exceeds the PRNG roofline "
+            "— RTT-correction artifact; reporting the row as suspect")
+    log(f"enc {enc_batch}: {t_enc*1e3:.2f} ms  {enc_rate:.2f} B enc/s  "
         f"{enc_batch*w*4/t_enc/1e9:.0f} GB/s write  spread {aux['enc'][1]*100:.1f}%")
     for bc in perm_bcs:
-        log(f"perm {pc} block_c={bc}: {aux[f'perm{bc}'][0]/K*1e3:.2f} ms  "
-            f"{pc*w*4/(aux[f'perm{bc}'][0]/K)/1e9:.0f} GB/s packed  "
+        log(f"perm {pc} block_c={bc}: {aux[f'perm{bc}'][0]/PERM_K*1e3:.2f} ms  "
+            f"{pc*w*4/(aux[f'perm{bc}'][0]/PERM_K)/1e9:.0f} GB/s packed  "
             f"spread {aux[f'perm{bc}'][1]*100:.1f}%")
     log(f"perm winner: block_c={perm_bc}  {pc*w*4/t_perm/1e9:.0f} GB/s packed")
 
@@ -369,6 +399,7 @@ def main():
                 "dec_spread_pct": round(res["dec"][1] * 100, 1),
                 "enc_b_per_s": round(enc_batch / t_enc / 1e9, 2),
                 "enc_spread_pct": round(aux["enc"][1] * 100, 1),
+                "enc_suspect": enc_suspect,
                 "perm_gbps": round(pc * w * 4 / t_perm / 1e9, 1),
                 "perm_block_c": perm_bc,
                 "perm_spread_pct": round(aux[f"perm{perm_bc}"][1] * 100, 1),
