@@ -9,5 +9,25 @@ on top of an NN framework's ops.
 from csgn_tpu.models.circuits import Gates
 from csgn_tpu.models.linear import matvec_f2
 from csgn_tpu.models.lookup import private_lookup
+from csgn_tpu.models.netlist import (
+    Netlist,
+    adder,
+    comparator_gt,
+    equality,
+    eval_expr,
+    eval_homomorphic,
+    eval_plain,
+)
 
-__all__ = ["Gates", "matvec_f2", "private_lookup"]
+__all__ = [
+    "Gates",
+    "matvec_f2",
+    "private_lookup",
+    "Netlist",
+    "adder",
+    "comparator_gt",
+    "equality",
+    "eval_expr",
+    "eval_homomorphic",
+    "eval_plain",
+]

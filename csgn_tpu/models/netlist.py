@@ -1,0 +1,399 @@
+"""Bristol-Fashion boolean netlists evaluated homomorphically.
+
+The reference evaluates hand-written gate compositions (its tests chain
+`+`/`*` by hand, /root/reference/tests/basic_operations.cpp:30-43).  This
+module closes the loop to the wider MPC/FHE ecosystem: parse a circuit in
+the standard *Bristol Fashion* netlist format (the format published for
+AES/SHA/adder benchmark circuits), or generate one, and evaluate it over
+CSGN ciphertexts three ways:
+
+  * `eval_plain`       — F2 reference evaluation (ints), the test oracle.
+  * `eval_homomorphic` — materialized ciphertext evaluation via `Gates`
+                         (pays the scheme's chunk growth).
+  * `eval_expr`        — growth-free `CtExpr` DAG for key-side decryption
+                         (`SecretKey.decrypt_circuit`); the only viable path
+                         for deep carry chains, where materialized chunk
+                         counts are exponential in circuit depth.
+
+Format (Bristol Fashion, one gate per line)::
+
+    <n_gates> <n_wires>
+    <n_input_values>  <size_0> <size_1> ...
+    <n_output_values> <size_0> <size_1> ...
+    2 1 <a> <b> <out> XOR|AND
+    1 1 <a> <out>     INV|NOT|EQW
+    1 1 <0|1> <out>   EQ          # constant assignment
+
+Wires are numbered with circuit inputs first and circuit outputs occupying
+the LAST sum(output_sizes) wires.  Bit order within a value is LSB-first
+for the generators here (documented per generator).  MAND (multi-AND) is
+not part of CSGN's {XOR, AND, 1} normal form and is rejected loudly.
+
+Chunk growth is tracked per wire (`Netlist.growth`): XOR adds chunk counts,
+AND multiplies, INV adds the NOT-constant's chunks — so callers can budget
+HBM *before* materializing (see pipeline.mul_chain's budget guard for the
+same discipline on chains).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.circuit import CtExpr, lift
+from csgn_tpu.models.circuits import Gates
+
+__all__ = [
+    "Netlist",
+    "Gate",
+    "eval_plain",
+    "eval_homomorphic",
+    "eval_expr",
+    "adder",
+    "equality",
+    "comparator_gt",
+]
+
+_BINARY = ("XOR", "AND")
+_UNARY = ("INV", "NOT", "EQW")
+
+
+@dataclasses.dataclass(frozen=True)
+class Gate:
+    """One netlist gate: ``op`` ∈ {XOR, AND, INV, NOT, EQW, EQ}.
+
+    For EQ, ``ins[0]`` is the constant bit (0 or 1), not a wire id.
+    """
+
+    op: str
+    ins: tuple[int, ...]
+    out: int
+
+
+@dataclasses.dataclass(frozen=True)
+class Netlist:
+    """A parsed Bristol-Fashion circuit (validated at construction)."""
+
+    n_wires: int
+    input_sizes: tuple[int, ...]
+    output_sizes: tuple[int, ...]
+    gates: tuple[Gate, ...]
+
+    def __post_init__(self):
+        n_in = sum(self.input_sizes)
+        n_out = sum(self.output_sizes)
+        if n_in + n_out > self.n_wires:
+            raise ValueError(
+                f"{self.n_wires} wires cannot hold {n_in} inputs + {n_out} outputs"
+            )
+        assigned = set()
+        for g in self.gates:
+            if g.op in _BINARY:
+                if len(g.ins) != 2:
+                    raise ValueError(f"{g.op} takes 2 inputs, got {g.ins}")
+            elif g.op in _UNARY:
+                if len(g.ins) != 1:
+                    raise ValueError(f"{g.op} takes 1 input, got {g.ins}")
+            elif g.op == "EQ":
+                if len(g.ins) != 1 or g.ins[0] not in (0, 1):
+                    raise ValueError(f"EQ takes one constant bit, got {g.ins}")
+            elif g.op == "MAND":
+                raise ValueError(
+                    "MAND (multi-AND) is not supported: CSGN's gate basis is "
+                    "{XOR, AND, 1}; expand MAND into 2-input ANDs"
+                )
+            else:
+                raise ValueError(f"unknown gate type {g.op!r}")
+            wire_ins = g.ins if g.op != "EQ" else ()
+            for w in wire_ins + (g.out,):
+                if not 0 <= w < self.n_wires:
+                    raise ValueError(f"wire {w} out of range [0, {self.n_wires})")
+            for w in wire_ins:
+                if w >= n_in and w not in assigned:
+                    raise ValueError(f"gate reads wire {w} before any gate drives it")
+            if g.out < n_in:
+                raise ValueError(f"gate drives input wire {g.out}")
+            if g.out in assigned:
+                raise ValueError(f"wire {g.out} driven twice")
+            assigned.add(g.out)
+        for w in range(self.n_wires - n_out, self.n_wires):
+            if w not in assigned and w >= n_in:
+                raise ValueError(f"output wire {w} is never driven")
+
+    # -- derived ---------------------------------------------------------------
+
+    @property
+    def n_inputs(self) -> int:
+        return sum(self.input_sizes)
+
+    @property
+    def n_outputs(self) -> int:
+        return sum(self.output_sizes)
+
+    @property
+    def and_count(self) -> int:
+        """Number of AND gates — the scheme's growth (and cost) driver."""
+        return sum(1 for g in self.gates if g.op == "AND")
+
+    def growth(
+        self, input_chunks: Sequence[int] | int = 1, one_chunks: int = 1
+    ) -> list[int]:
+        """Worst-case materialized chunk count of each output wire.
+
+        XOR concatenates (t1+t2), AND cross-multiplies (t1*t2), INV XORs a
+        ``one_chunks``-chunk constant, EQ costs 1 (const 1) or 2·one
+        (const 0 = one+one).  Mirrors reference growth semantics
+        (src/Ciphertext.cpp:107-163).
+        """
+        if isinstance(input_chunks, int):
+            input_chunks = [input_chunks] * self.n_inputs
+        if len(input_chunks) != self.n_inputs:
+            raise ValueError(
+                f"need {self.n_inputs} input chunk counts, got {len(input_chunks)}"
+            )
+        chunks: dict[int, int] = {i: int(c) for i, c in enumerate(input_chunks)}
+        for g in self.gates:
+            if g.op == "XOR":
+                chunks[g.out] = chunks[g.ins[0]] + chunks[g.ins[1]]
+            elif g.op == "AND":
+                chunks[g.out] = chunks[g.ins[0]] * chunks[g.ins[1]]
+            elif g.op in ("INV", "NOT"):
+                chunks[g.out] = chunks[g.ins[0]] + one_chunks
+            elif g.op == "EQW":
+                chunks[g.out] = chunks[g.ins[0]]
+            else:  # EQ
+                chunks[g.out] = one_chunks if g.ins[0] else 2 * one_chunks
+        return [chunks[w] for w in range(self.n_wires - self.n_outputs, self.n_wires)]
+
+    # -- (de)serialization -------------------------------------------------------
+
+    @classmethod
+    def parse(cls, text: str) -> "Netlist":
+        """Parse Bristol-Fashion text (blank lines ignored)."""
+        lines = [ln.split() for ln in text.splitlines() if ln.strip()]
+        if len(lines) < 3:
+            raise ValueError("netlist needs header (3 lines) + gates")
+        n_gates, n_wires = int(lines[0][0]), int(lines[0][1])
+        in_hdr, out_hdr = lines[1], lines[2]
+        input_sizes = tuple(int(x) for x in in_hdr[1 : 1 + int(in_hdr[0])])
+        output_sizes = tuple(int(x) for x in out_hdr[1 : 1 + int(out_hdr[0])])
+        if len(input_sizes) != int(in_hdr[0]) or len(output_sizes) != int(out_hdr[0]):
+            raise ValueError("input/output header count mismatch")
+        gates = []
+        for ln in lines[3:]:
+            n_in, n_out, op = int(ln[0]), int(ln[-1 - int(ln[1])]), ln[-1]
+            if int(ln[1]) != 1:
+                raise ValueError(f"multi-output gates unsupported: {' '.join(ln)}")
+            ins = tuple(int(x) for x in ln[2 : 2 + n_in])
+            gates.append(Gate(op=op, ins=ins, out=n_out))
+        if len(gates) != n_gates:
+            raise ValueError(f"header says {n_gates} gates, found {len(gates)}")
+        return cls(n_wires, input_sizes, output_sizes, tuple(gates))
+
+    def to_text(self) -> str:
+        """Serialize back to Bristol-Fashion text (parse-roundtrip exact)."""
+        out = [
+            f"{len(self.gates)} {self.n_wires}",
+            f"{len(self.input_sizes)} " + " ".join(map(str, self.input_sizes)),
+            f"{len(self.output_sizes)} " + " ".join(map(str, self.output_sizes)),
+        ]
+        for g in self.gates:
+            ins = " ".join(map(str, g.ins))
+            out.append(f"{len(g.ins)} 1 {ins} {g.out} {g.op}")
+        return "\n".join(out) + "\n"
+
+    def __repr__(self) -> str:
+        return (
+            f"Netlist(gates={len(self.gates)}, wires={self.n_wires}, "
+            f"in={self.input_sizes}, out={self.output_sizes}, ands={self.and_count})"
+        )
+
+
+# -- evaluation ----------------------------------------------------------------
+
+
+def _flatten_inputs(netlist: Netlist, inputs: Sequence[Sequence]) -> list:
+    if len(inputs) != len(netlist.input_sizes):
+        raise ValueError(
+            f"need {len(netlist.input_sizes)} input values, got {len(inputs)}"
+        )
+    flat = []
+    for val, size in zip(inputs, netlist.input_sizes):
+        if len(val) != size:
+            raise ValueError(f"input value has {len(val)} bits, header says {size}")
+        flat.extend(val)
+    return flat
+
+
+def _unflatten_outputs(netlist: Netlist, wires: dict[int, object]) -> list[list]:
+    out, w = [], netlist.n_wires - netlist.n_outputs
+    for size in netlist.output_sizes:
+        out.append([wires[w + i] for i in range(size)])
+        w += size
+    return out
+
+
+def eval_plain(netlist: Netlist, inputs: Sequence[Sequence[int]]) -> list[list[int]]:
+    """Reference F2 evaluation on plain bits — the oracle for the two below."""
+    wires: dict[int, int] = {
+        i: int(b) & 1 for i, b in enumerate(_flatten_inputs(netlist, inputs))
+    }
+    for g in netlist.gates:
+        if g.op == "XOR":
+            wires[g.out] = wires[g.ins[0]] ^ wires[g.ins[1]]
+        elif g.op == "AND":
+            wires[g.out] = wires[g.ins[0]] & wires[g.ins[1]]
+        elif g.op in ("INV", "NOT"):
+            wires[g.out] = wires[g.ins[0]] ^ 1
+        elif g.op == "EQW":
+            wires[g.out] = wires[g.ins[0]]
+        else:  # EQ
+            wires[g.out] = g.ins[0]
+    return _unflatten_outputs(netlist, wires)
+
+
+def eval_homomorphic(
+    netlist: Netlist, inputs: Sequence[Sequence[Ciphertext]], gates: Gates
+) -> list[list[Ciphertext]]:
+    """Materialized ciphertext evaluation (public; pays chunk growth).
+
+    Check `netlist.growth()` against available HBM first — a deep carry
+    chain materializes exponentially many chunks.  For key-side decryption
+    of deep circuits use `eval_expr` instead.
+    """
+    wires: dict[int, Ciphertext] = dict(
+        enumerate(_flatten_inputs(netlist, inputs))
+    )
+    for g in netlist.gates:
+        if g.op == "XOR":
+            wires[g.out] = wires[g.ins[0]] + wires[g.ins[1]]
+        elif g.op == "AND":
+            wires[g.out] = wires[g.ins[0]] * wires[g.ins[1]]
+        elif g.op in ("INV", "NOT"):
+            wires[g.out] = gates.not_(wires[g.ins[0]])
+        elif g.op == "EQW":
+            wires[g.out] = wires[g.ins[0]]
+        else:  # EQ: 1 -> one, 0 -> one+one (a public encryption of 0)
+            wires[g.out] = gates.one if g.ins[0] else gates.one + gates.one
+    return _unflatten_outputs(netlist, wires)
+
+
+def eval_expr(
+    netlist: Netlist,
+    inputs: Sequence[Sequence[Ciphertext | CtExpr]],
+    one: Ciphertext,
+) -> list[list[CtExpr]]:
+    """Growth-free evaluation to `CtExpr` DAGs for `SecretKey.decrypt_circuit`.
+
+    No device work happens here; each output is a +/* DAG over the input
+    leaves (shared subcircuits stay shared), decryptable in O(sum of leaf
+    chunks) regardless of depth — the key-side path for circuits whose
+    materialized growth (`netlist.growth()`) exceeds HBM.
+    """
+    one_e = lift(one)
+    wires: dict[int, CtExpr] = {
+        i: lift(v) for i, v in enumerate(_flatten_inputs(netlist, inputs))
+    }
+    for g in netlist.gates:
+        if g.op == "XOR":
+            wires[g.out] = wires[g.ins[0]] + wires[g.ins[1]]
+        elif g.op == "AND":
+            wires[g.out] = wires[g.ins[0]] * wires[g.ins[1]]
+        elif g.op in ("INV", "NOT"):
+            wires[g.out] = wires[g.ins[0]] + one_e
+        elif g.op == "EQW":
+            wires[g.out] = wires[g.ins[0]]
+        else:  # EQ
+            wires[g.out] = one_e if g.ins[0] else one_e + one_e
+    return _unflatten_outputs(netlist, wires)
+
+
+# -- generators ------------------------------------------------------------------
+
+
+class _Builder:
+    """Accumulates gates on scratch wires, then renumbers so circuit outputs
+    land on the final wires (the Bristol-Fashion contract)."""
+
+    def __init__(self, input_sizes: Sequence[int]):
+        self.input_sizes = tuple(input_sizes)
+        self.next = sum(input_sizes)
+        self.gates: list[Gate] = []
+
+    def emit(self, op: str, *ins: int) -> int:
+        out = self.next
+        self.next += 1
+        self.gates.append(Gate(op=op, ins=tuple(ins), out=out))
+        return out
+
+    def xor(self, a: int, b: int) -> int:
+        return self.emit("XOR", a, b)
+
+    def and_(self, a: int, b: int) -> int:
+        return self.emit("AND", a, b)
+
+    def inv(self, a: int) -> int:
+        return self.emit("INV", a)
+
+    def finish(self, outputs: Sequence[int], output_sizes: Sequence[int]) -> Netlist:
+        if len(outputs) != sum(output_sizes):
+            raise ValueError("output wire count != sum(output_sizes)")
+        # Route each output through an EQW copy onto the final wire block.
+        n_wires = self.next + len(outputs)
+        for i, w in enumerate(outputs):
+            self.gates.append(Gate(op="EQW", ins=(w,), out=self.next + i))
+        return Netlist(n_wires, self.input_sizes, tuple(output_sizes), tuple(self.gates))
+
+
+def adder(width: int) -> Netlist:
+    """Ripple-carry adder: two LSB-first ``width``-bit values → ``width+1``
+    bits (sum, carry-out last).  AND-depth = width, so the materialized
+    growth of the top bits is exponential — built for `eval_expr`."""
+    b = _Builder([width, width])
+    a0, b0 = 0, width
+    outs: list[int] = []
+    carry = None
+    for i in range(width):
+        x, y = a0 + i, b0 + i
+        axy = b.xor(x, y)
+        if carry is None:
+            outs.append(axy)
+            carry = b.and_(x, y)
+        else:
+            outs.append(b.xor(axy, carry))
+            carry = b.xor(b.and_(x, y), b.and_(carry, axy))
+    outs.append(carry)
+    return b.finish(outs, [width + 1])
+
+
+def equality(width: int) -> Netlist:
+    """LSB-first ``width``-bit equality: one output bit, a == b."""
+    b = _Builder([width, width])
+    acc = None
+    for i in range(width):
+        eq = b.inv(b.xor(i, width + i))
+        acc = eq if acc is None else b.and_(acc, eq)
+    return b.finish([acc], [1])
+
+
+def comparator_gt(width: int) -> Netlist:
+    """Unsigned a > b (LSB-first inputs), one output bit.
+
+    LSB-up recurrence: gt_{0..i} = (a_i & ~b_i) | (eq_i & gt_{0..i-1}) —
+    a higher bit wins outright, equal bits defer to the lower slice; | is
+    expanded into the {XOR, AND} basis (x|y = x^y^(x&y))."""
+    b = _Builder([width, width])
+    gt = None
+    for i in range(width):
+        x, y = i, width + i
+        a_and_notb = b.and_(x, b.inv(y))
+        if gt is None:
+            gt = a_and_notb
+        else:
+            eq = b.inv(b.xor(x, y))
+            t = b.and_(eq, gt)
+            # a_and_notb and t are mutually exclusive, but keep the general
+            # OR expansion for clarity of the basis translation.
+            gt = b.xor(b.xor(a_and_notb, t), b.and_(a_and_notb, t))
+    return b.finish([gt], [1])

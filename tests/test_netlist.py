@@ -1,0 +1,193 @@
+"""Bristol-Fashion netlists: parse/serialize, plain oracle, homomorphic paths."""
+
+import random
+
+import jax
+import pytest
+
+from csgn_tpu import SecretKey
+from csgn_tpu.models import Gates
+from csgn_tpu.models.netlist import (
+    Gate,
+    Netlist,
+    adder,
+    comparator_gt,
+    equality,
+    eval_expr,
+    eval_homomorphic,
+    eval_plain,
+)
+
+
+def _bits(x: int, width: int) -> list[int]:
+    return [(x >> i) & 1 for i in range(width)]
+
+
+def _from_bits(bits) -> int:
+    return sum(int(b) << i for i, b in enumerate(bits))
+
+
+# -- structure / format ---------------------------------------------------------
+
+
+def test_parse_roundtrip():
+    nl = adder(4)
+    again = Netlist.parse(nl.to_text())
+    assert again == nl
+    assert again.n_inputs == 8 and again.n_outputs == 5
+    assert again.and_count == nl.and_count
+
+
+def test_parse_rejects_malformed():
+    with pytest.raises(ValueError, match="header"):
+        Netlist.parse("1 3\n1 1\n")
+    good = adder(2).to_text()
+    with pytest.raises(ValueError, match="header says"):
+        Netlist.parse(good.replace(good.split()[0], "99", 1))
+
+
+def test_validation_errors():
+    with pytest.raises(ValueError, match="MAND"):
+        Netlist(4, (2,), (1,), (Gate("MAND", (0, 1), 3),))
+    with pytest.raises(ValueError, match="unknown gate"):
+        Netlist(4, (2,), (1,), (Gate("NAND", (0, 1), 3),))
+    with pytest.raises(ValueError, match="out of range"):
+        Netlist(4, (2,), (1,), (Gate("XOR", (0, 9), 3),))
+    with pytest.raises(ValueError, match="driven twice"):
+        Netlist(
+            4, (2,), (1,),
+            (Gate("XOR", (0, 1), 3), Gate("AND", (0, 1), 3)),
+        )
+    with pytest.raises(ValueError, match="before any gate drives"):
+        Netlist(5, (2,), (1,), (Gate("XOR", (0, 3), 4), Gate("AND", (0, 1), 3)))
+    with pytest.raises(ValueError, match="never driven"):
+        Netlist(4, (2,), (1,), ())
+    with pytest.raises(ValueError, match="EQ takes one constant"):
+        Netlist(4, (2,), (1,), (Gate("EQ", (7,), 3),))
+
+
+# -- plain oracle vs python ints --------------------------------------------------
+
+
+@pytest.mark.parametrize("width", [1, 4, 8, 16, 32])
+def test_adder_plain(width):
+    rng = random.Random(width)
+    nl = adder(width)
+    for _ in range(16):
+        x, y = rng.randrange(1 << width), rng.randrange(1 << width)
+        (out,) = eval_plain(nl, [_bits(x, width), _bits(y, width)])
+        assert _from_bits(out) == x + y, (width, x, y)
+
+
+@pytest.mark.parametrize("width", [1, 3, 8, 16])
+def test_comparators_plain(width):
+    rng = random.Random(width * 7)
+    eq_nl, gt_nl = equality(width), comparator_gt(width)
+    cases = [(0, 0), ((1 << width) - 1, (1 << width) - 1)] + [
+        (rng.randrange(1 << width), rng.randrange(1 << width)) for _ in range(12)
+    ]
+    for x, y in cases:
+        a, b = _bits(x, width), _bits(y, width)
+        assert eval_plain(eq_nl, [a, b])[0][0] == int(x == y), (x, y)
+        assert eval_plain(gt_nl, [a, b])[0][0] == int(x > y), (x, y)
+
+
+def test_eq_const_and_eqw_gates():
+    # out0 = const 1, out1 = const 0, out2 = copy of input.
+    nl = Netlist(
+        6, (1,), (3,),
+        (
+            Gate("EQ", (1,), 3),
+            Gate("EQ", (0,), 4),
+            Gate("EQW", (0,), 5),
+        ),
+    )
+    for bit in (0, 1):
+        (out,) = eval_plain(nl, [[bit]])
+        assert out == [1, 0, bit]
+
+
+def test_growth_accounting():
+    nl = adder(4)
+    g = nl.growth(input_chunks=1)
+    # sum_i = 2 + carry_{i-1}, carry_i = 1 + 2*carry_{i-1}: doubles per bit.
+    assert g == [2, 3, 5, 9, 15]
+    assert max(adder(32).growth()) == 2**32 - 1  # why eval_expr exists
+    with pytest.raises(ValueError, match="input chunk counts"):
+        nl.growth(input_chunks=[1, 2, 3])
+
+
+# -- homomorphic paths ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hom(small_ctx):
+    keys = jax.random.split(jax.random.key(42), 4)
+    sk = SecretKey.generate(small_ctx, keys[0])
+    gates = Gates(sk.encrypt(1, keys[1]))
+    return sk, gates, keys[2]
+
+
+def _encrypt_bits(sk, x, width, key):
+    ks = jax.random.split(key, width)
+    return [sk.encrypt((x >> i) & 1, ks[i]) for i in range(width)]
+
+
+def test_adder_homomorphic_materialized(hom):
+    sk, gates, key = hom
+    nl = adder(2)
+    for x, y in [(0, 0), (1, 3), (2, 3), (3, 3)]:
+        a = _encrypt_bits(sk, x, 2, jax.random.fold_in(key, 10 * x + y))
+        b = _encrypt_bits(sk, y, 2, jax.random.fold_in(key, 100 + 10 * x + y))
+        (out,) = eval_homomorphic(nl, [a, b], gates)
+        got = _from_bits([int(sk.decrypt(ct)) for ct in out])
+        assert got == x + y, (x, y, got)
+
+
+def test_adder_expr_growth_free(hom):
+    """32-bit adder: the carry-out would materialize to 2^32-1 chunks
+    (beyond any chip's HBM); the CtExpr path decrypts from the 64 fresh
+    leaves in O(64) chunk decrypts."""
+    sk, gates, key = hom
+    width = 32
+    nl = adder(width)
+    assert max(nl.growth()) > 4e9  # materializing would be absurd
+    cases = [(3_000_000_200, 1_300_000_100), (2**32 - 1, 2**32 - 1), (0, 1)]
+    for i, (x, y) in enumerate(cases):
+        a = _encrypt_bits(sk, x, width, jax.random.fold_in(key, 2 * i))
+        b = _encrypt_bits(sk, y, width, jax.random.fold_in(key, 2 * i + 1))
+        (out,) = eval_expr(nl, [a, b], gates.one)
+        got = _from_bits([int(sk.decrypt_circuit(e)) for e in out])
+        assert got == x + y, (x, y, got)
+
+
+def test_comparator_expr_matches_plain(hom):
+    sk, gates, key = hom
+    width = 6
+    gt_nl = comparator_gt(width)
+    for x, y in [(33, 12), (12, 33), (63, 63), (0, 63)]:
+        a = _encrypt_bits(sk, x, width, jax.random.fold_in(key, 7 * x))
+        b = _encrypt_bits(sk, y, width, jax.random.fold_in(key, 9000 + y))
+        (out,) = eval_expr(gt_nl, [a, b], gates.one)
+        assert int(sk.decrypt_circuit(out[0])) == int(x > y), (x, y)
+
+
+def test_expr_and_materialized_agree(hom):
+    sk, gates, key = hom
+    nl = equality(3)
+    for x, y in [(5, 5), (5, 4), (0, 7)]:
+        a = _encrypt_bits(sk, x, 3, jax.random.fold_in(key, 31 * x))
+        b = _encrypt_bits(sk, y, 3, jax.random.fold_in(key, 777 + y))
+        (mat,) = eval_homomorphic(nl, [a, b], gates)
+        (exp,) = eval_expr(nl, [a, b], gates.one)
+        assert int(sk.decrypt(mat[0])) == int(sk.decrypt_circuit(exp[0])) == int(x == y)
+
+
+def test_input_shape_errors(hom):
+    sk, gates, key = hom
+    nl = adder(2)
+    one = [gates.one]
+    with pytest.raises(ValueError, match="input values"):
+        eval_plain(nl, [[0, 1]])
+    with pytest.raises(ValueError, match="bits, header says"):
+        eval_homomorphic(nl, [one, one + one], gates)
