@@ -21,6 +21,7 @@ from csgn_tpu.context import Context
 from csgn_tpu.permutation import Permutation
 from csgn_tpu.plaintext import Plaintext
 from csgn_tpu.secret_key import SecretKey
+from csgn_tpu.serve import BatchExecutor, ServeFuture
 
 # Subpackages (io, ops, parallel, models, pipeline, utils) import lazily via
 # their qualified names; the classes above are the reference-parity surface.
@@ -37,5 +38,7 @@ __all__ = [
     "CtExpr",
     "lift",
     "RunConfig",
+    "BatchExecutor",
+    "ServeFuture",
     "__version__",
 ]

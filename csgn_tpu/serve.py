@@ -1,0 +1,263 @@
+"""Serving executor: microbatch independent homomorphic requests.
+
+The reference processes one ciphertext op per call (its timing harness loops
+single ops, /root/reference/tests/timings.cpp:26-42); a production service
+sees *fleets* of small independent requests.  On this class of deployment the
+wall-clock cost of a small op is dominated by dispatch latency, not compute
+(the TPU here sits behind a ~27 ms round-trip tunnel; even locally a dispatch
+is ~100 µs against ~10 µs of device work for a fresh multiply).
+
+`BatchExecutor` queues requests and executes each *compatible group* as ONE
+batched dispatch on the existing `CiphertextBatch` / `encrypt_batch` /
+`decrypt_batch` kernels: B requests cost one device round-trip instead of B.
+Grouping is by (op, context, chunk shape); incompatible shapes simply land in
+different groups and still flush together.
+
+Semantics:
+  * `submit_*` returns a `ServeFuture`; nothing touches the device until
+    `flush()` (or a group reaching `max_batch`, or the first
+    `ServeFuture.result()` — results force a flush of everything pending).
+  * Execution is deterministic: requests are batched in submission order and
+    encrypt randomness is derived from (executor rng, flush counter, slot),
+    so re-running the same submission sequence reproduces every ciphertext.
+  * Single-threaded by design — the batching win is dispatch amortization,
+    not host concurrency.  Wrap calls in a lock if driving from many threads.
+
+Example::
+
+    ex = BatchExecutor(sk, rng=jax.random.key(0))
+    futs = [ex.submit_mul_decrypt(a, b) for a, b in requests]   # no device work
+    ex.flush()                                                  # ~1 dispatch/group
+    bits = [f.result()[1] for f in futs]
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from csgn_tpu.batch import CiphertextBatch
+from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.permutation import Permutation
+from csgn_tpu.secret_key import SecretKey
+from csgn_tpu.utils.metrics import op_metrics
+
+__all__ = ["BatchExecutor", "ServeFuture"]
+
+
+class ServeFuture:
+    """Result placeholder; `result()` flushes the executor if still pending."""
+
+    __slots__ = ("_executor", "_value", "_exc", "_ready")
+
+    def __init__(self, executor: "BatchExecutor"):
+        self._executor = executor
+        self._value = None
+        self._exc: BaseException | None = None
+        self._ready = False
+
+    @property
+    def done(self) -> bool:
+        return self._ready
+
+    def _set(self, value) -> None:
+        self._value, self._ready = value, True
+
+    def _set_exception(self, exc: BaseException) -> None:
+        self._exc, self._ready = exc, True
+
+    def result(self):
+        if not self._ready:
+            self._executor.flush()
+        if self._exc is not None:
+            raise self._exc
+        return self._value
+
+
+def _stack(cts: list[Ciphertext]) -> CiphertextBatch:
+    """Stack same-shape ciphertexts with one dispatch when tags allow.
+
+    All-canonical (fresh or already-canonicalized) requests stack raw; mixed
+    lazy tags fall back to `CiphertextBatch.stack`, which canonicalizes each
+    element (a per-element gather — still correct, just not free).  Requests
+    sharing ONE tag object (e.g. sliced from the same batch) keep it shared.
+    """
+    first = cts[0]
+    if all(c.logical is None for c in cts):
+        return CiphertextBatch(jnp.stack([c.wt for c in cts]), first.ctx)
+    if all(c.logical is first.logical and c.pad == first.pad for c in cts):
+        return CiphertextBatch(
+            jnp.stack([c.wt for c in cts]), first.ctx, first.logical, first.pad
+        )
+    return CiphertextBatch.stack(cts)
+
+
+class BatchExecutor:
+    """Microbatching front-end over the batched CSGN kernels.
+
+    Args:
+      key: `SecretKey` used by encrypt / decrypt / mul_decrypt requests
+        (pure ciphertext ops work without one).
+      rng: base PRNG key for encrypt requests (default `jax.random.key(0)`);
+        each flush derives a fresh subkey, so ciphertexts are reproducible
+        given (rng, submission order).
+      max_batch: a group reaching this many requests flushes immediately
+        (bounds peak HBM for the stacked batch); None = unbounded.
+    """
+
+    def __init__(
+        self,
+        key: SecretKey | None = None,
+        *,
+        rng: jax.Array | None = None,
+        max_batch: int | None = 4096,
+    ):
+        self._key = key
+        self._rng = rng if rng is not None else jax.random.key(0)
+        self._max_batch = max_batch
+        self._groups: dict[tuple, list[tuple]] = {}
+        self.stats = {"requests": 0, "flushes": 0, "group_dispatches": 0}
+
+    # -- submission -------------------------------------------------------------
+
+    def _need_key(self, what: str) -> SecretKey:
+        if self._key is None:
+            raise ValueError(f"{what} requests need a BatchExecutor(key=...)")
+        return self._key
+
+    def _enqueue(self, group_key: tuple, payload: tuple) -> ServeFuture:
+        fut = ServeFuture(self)
+        pending = self._groups.setdefault(group_key, [])
+        pending.append((payload, fut))
+        self.stats["requests"] += 1
+        if self._max_batch is not None and len(pending) >= self._max_batch:
+            self._flush_group(group_key)
+        return fut
+
+    def _check_ct(self, ct: Ciphertext, what: str) -> None:
+        if not isinstance(ct, Ciphertext):
+            raise TypeError(f"{what} expects Ciphertext, got {type(ct).__name__}")
+        if self._key is not None and ct.ctx != self._key.ctx:
+            raise ValueError(f"{what}: ciphertext context differs from the key's")
+
+    def submit_encrypt(self, bit: int) -> ServeFuture:
+        """Encrypt one bit; B queued encrypts become one `encrypt_batch`."""
+        self._need_key("encrypt")
+        return self._enqueue(("enc",), (int(bit) & 1,))
+
+    def submit_add(self, a: Ciphertext, b: Ciphertext) -> ServeFuture:
+        self._check_ct(a, "add"), self._check_ct(b, "add")
+        if a.ctx != b.ctx:
+            raise ValueError("add: operand context mismatch")
+        return self._enqueue(("add", a.ctx, a.chunks, b.chunks), (a, b))
+
+    def submit_mul(self, a: Ciphertext, b: Ciphertext) -> ServeFuture:
+        self._check_ct(a, "mul"), self._check_ct(b, "mul")
+        if a.ctx != b.ctx:
+            raise ValueError("mul: operand context mismatch")
+        return self._enqueue(("mul", a.ctx, a.chunks, b.chunks), (a, b))
+
+    def submit_decrypt(self, ct: Ciphertext) -> ServeFuture:
+        """Decrypt; resolves to an int bit."""
+        self._need_key("decrypt")
+        self._check_ct(ct, "decrypt")
+        return self._enqueue(("dec", ct.ctx, ct.chunks), (ct,))
+
+    def submit_mul_decrypt(self, a: Ciphertext, b: Ciphertext) -> ServeFuture:
+        """Fused multiply+decrypt; resolves to ``(product, bit)``."""
+        self._need_key("mul_decrypt")
+        self._check_ct(a, "mul_decrypt"), self._check_ct(b, "mul_decrypt")
+        if a.ctx != b.ctx:
+            raise ValueError("mul_decrypt: operand context mismatch")
+        return self._enqueue(("muldec", a.ctx, a.chunks, b.chunks), (a, b))
+
+    def submit_permute(self, ct: Ciphertext, perm: Permutation) -> ServeFuture:
+        """Apply a per-request permutation; B requests run the batched
+        stacked-plan Beneš kernel (one dispatch for the whole fleet)."""
+        self._check_ct(ct, "permute")
+        if perm.n != ct.ctx.n:
+            raise ValueError(f"permutation length {perm.n} != context n {ct.ctx.n}")
+        return self._enqueue(("perm", ct.ctx, ct.chunks), (ct, perm))
+
+    # -- execution ----------------------------------------------------------------
+
+    def pending(self) -> int:
+        return sum(len(v) for v in self._groups.values())
+
+    def flush(self) -> None:
+        """Execute every pending group (one batched dispatch per group)."""
+        if not self._groups:
+            return
+        self.stats["flushes"] += 1
+        for group_key in list(self._groups):
+            self._flush_group(group_key)
+
+    def _flush_group(self, group_key: tuple) -> None:
+        pending = self._groups.pop(group_key, [])
+        if not pending:
+            return
+        payloads = [p for p, _ in pending]
+        futures = [f for _, f in pending]
+        self.stats["group_dispatches"] += 1
+        runner: Callable = getattr(self, f"_run_{group_key[0]}")
+        try:
+            with op_metrics().record(
+                f"serve.{group_key[0]}", chunks_in=len(pending)
+            ):
+                results = runner(payloads)
+        except Exception as exc:  # noqa: BLE001 — delivered via futures
+            for f in futures:
+                f._set_exception(exc)
+            return
+        for f, r in zip(futures, results):
+            f._set(r)
+
+    # Per-kind batched runners: each is ONE batched device computation.
+
+    def _run_enc(self, payloads: list[tuple]) -> list[Ciphertext]:
+        sk = self._need_key("encrypt")
+        bits = jnp.array([p[0] for p in payloads], dtype=jnp.uint8)
+        subkey = jax.random.fold_in(self._rng, self.stats["group_dispatches"])
+        words = sk.encrypt_batch(bits, subkey)  # [W, B]
+        batch = CiphertextBatch.from_fresh(words, sk.ctx)
+        return [batch[i] for i in range(len(payloads))]
+
+    def _run_add(self, payloads: list[tuple]) -> list[Ciphertext]:
+        ca = _stack([a for a, _ in payloads])
+        cb = _stack([b for _, b in payloads])
+        out = ca + cb
+        return [out[i] for i in range(len(payloads))]
+
+    def _run_mul(self, payloads: list[tuple]) -> list[Ciphertext]:
+        ca = _stack([a for a, _ in payloads])
+        cb = _stack([b for _, b in payloads])
+        out = ca * cb
+        return [out[i] for i in range(len(payloads))]
+
+    def _run_dec(self, payloads: list[tuple]) -> list[int]:
+        sk = self._need_key("decrypt")
+        batch = _stack([p[0] for p in payloads])
+        bits = sk.decrypt_batch(batch)
+        return [int(b) for b in jax.device_get(bits)]
+
+    def _run_muldec(self, payloads: list[tuple]) -> list[tuple[Ciphertext, int]]:
+        sk = self._need_key("mul_decrypt")
+        ca = _stack([a for a, _ in payloads])
+        cb = _stack([b for _, b in payloads])
+        out, bits = sk.mul_and_decrypt_batch(ca, cb)
+        host_bits = jax.device_get(bits)
+        return [(out[i], int(host_bits[i])) for i in range(len(payloads))]
+
+    def _run_perm(self, payloads: list[tuple]) -> list[Ciphertext]:
+        batch = _stack([ct for ct, _ in payloads])
+        out = batch.apply_permutations([perm for _, perm in payloads])
+        return [out[i] for i in range(len(payloads))]
+
+    def __repr__(self) -> str:
+        return (
+            f"BatchExecutor(pending={self.pending()}, "
+            f"requests={self.stats['requests']}, "
+            f"group_dispatches={self.stats['group_dispatches']})"
+        )
