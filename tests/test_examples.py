@@ -49,3 +49,12 @@ def test_key_rotation_example():
 
     out = key_rotation.main(fleet=6, n=95, d=4)
     assert out["decrypted"] == out["expected"]
+
+
+def test_netlist_service_example():
+    import netlist_service
+
+    out = netlist_service.main(bidders=6, width=8, n=95, d=4)
+    assert out["bidders"] == 6
+    assert out["encrypt_dispatches"] == 1
+    assert all(q in (0, 1) for q in out["qualified"])
