@@ -104,9 +104,15 @@ class SecretKey:
         engine="threefry" (default): counter-based `jax.random` — `rng` is a
         PRNG key; reproducible and splittable (371 M enc/s on v5e).
         engine="pallas": fused TPU kernel on the hardware PRNG — `rng` is an
-        integer seed; 7x faster (2.68 B enc/s) but TPU-only and not
+        integer seed; 12x faster (4.45 B enc/s) but TPU-only and not
         bit-reproducible against threefry (encryption is randomized; both
         satisfy the same invariants).
+        engine="counter": threefry2x32 evaluated inside the Pallas kernel on
+        global counters — `rng` is an integer seed; reproducible across
+        backends AND batch/block sizes (same (seed, batch index) -> same
+        ciphertext on CPU and TPU), at a fraction of the hardware-PRNG
+        kernel's cost and well above the XLA threefry path (numbers in
+        docs/performance.md).
         """
         if engine == "pallas":
             from csgn_tpu.ops.encrypt_pallas import encrypt_bits_pallas
@@ -119,6 +125,23 @@ class SecretKey:
                 int(rng), jnp.asarray(bits), self.indices, self._mask,
                 self.ctx.valid_mask, self.ctx.n, self.ctx.d,
             )
+        if engine == "counter":
+            from csgn_tpu.ops import encrypt_pallas as ep
+
+            fn = (
+                ep.encrypt_bits_counter
+                if jax.default_backend() == "tpu"
+                else ep.encrypt_bits_counter_ref  # same bits, plain jnp
+            )
+            batch = int(jnp.asarray(bits).shape[0])
+            with op_metrics().record(
+                "key.encrypt", chunks_out=batch,
+                bytes_moved=self.ctx.chunk_count_bytes(batch),
+            ):
+                return fn(
+                    int(rng), jnp.asarray(bits), self.indices, self._mask,
+                    self.ctx.valid_mask, self.ctx.n, self.ctx.d,
+                )
         if engine != "threefry":
             raise ValueError(f"unknown encrypt engine {engine!r}")
         batch = int(jnp.asarray(bits).shape[0])
