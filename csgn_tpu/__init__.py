@@ -14,7 +14,7 @@ keys (`jax.random`), and timing lives in `csgn_tpu.utils.timing`.
 """
 
 from csgn_tpu.batch import CiphertextBatch
-from csgn_tpu.ciphertext import Ciphertext
+from csgn_tpu.ciphertext import Ciphertext, set_eager_order
 from csgn_tpu.circuit import CtExpr, lift
 from csgn_tpu.config import RunConfig
 from csgn_tpu.context import Context
@@ -34,6 +34,7 @@ __all__ = [
     "SecretKey",
     "Ciphertext",
     "CiphertextBatch",
+    "set_eager_order",
     "Permutation",
     "CtExpr",
     "lift",

@@ -40,6 +40,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Sequence
 
+from csgn_tpu.batch import CiphertextBatch
 from csgn_tpu.ciphertext import Ciphertext
 from csgn_tpu.circuit import CtExpr, lift
 from csgn_tpu.models.circuits import Gates
@@ -49,6 +50,7 @@ __all__ = [
     "Gate",
     "eval_plain",
     "eval_homomorphic",
+    "eval_homomorphic_batch",
     "eval_expr",
     "adder",
     "equality",
@@ -184,6 +186,13 @@ class Netlist:
         for ln in lines[3:]:
             n_in, n_out, op = int(ln[0]), int(ln[-1 - int(ln[1])]), ln[-1]
             if int(ln[1]) != 1:
+                if ln[-1] == "MAND":
+                    # Extended Bristol Fashion packs k parallel ANDs into one
+                    # multi-output line; CSGN's basis is {XOR, AND, 1} —
+                    # expand MAND into 2-input ANDs before evaluation.
+                    raise ValueError(
+                        f"MAND (multi-output multi-AND) is not supported: {' '.join(ln)}"
+                    )
                 raise ValueError(f"multi-output gates unsupported: {' '.join(ln)}")
             ins = tuple(int(x) for x in ln[2 : 2 + n_in])
             gates.append(Gate(op=op, ins=ins, out=n_out))
@@ -276,6 +285,60 @@ def eval_homomorphic(
             wires[g.out] = wires[g.ins[0]]
         else:  # EQ: 1 -> one, 0 -> one+one (a public encryption of 0)
             wires[g.out] = gates.one if g.ins[0] else gates.one + gates.one
+    return _unflatten_outputs(netlist, wires)
+
+
+def eval_homomorphic_batch(
+    netlist: Netlist,
+    inputs: Sequence[Sequence[CiphertextBatch]],
+    one: Ciphertext,
+) -> list[list[CiphertextBatch]]:
+    """Evaluate ONE circuit over B independent input sets in parallel.
+
+    Each input wire is a `CiphertextBatch` holding that wire's ciphertext for
+    all B instances; every gate then runs ONCE as a batched dispatch on the
+    whole fleet ([B, W, C] kernels), so evaluating a circuit over B inputs
+    costs O(gates) dispatches instead of O(B * gates) — the TPU-first shape
+    of the reference's per-request gate chaining
+    (/root/reference/tests/basic_operations.cpp:30-43).  Bit-equal per
+    element to `eval_homomorphic` (tests/test_netlist.py).
+
+    ``one`` is a public encryption of 1 (shared across the fleet — NOT
+    gates XOR the same constant into every element, which is semantically
+    fine: re-randomization is the caller's concern, as with `Gates.one`).
+    """
+    import jax.numpy as jnp
+
+    flat = _flatten_inputs(netlist, inputs)
+    b = None
+    for cb in flat:
+        if not isinstance(cb, CiphertextBatch):
+            raise TypeError(
+                f"batched evaluation expects CiphertextBatch wires, got {type(cb).__name__}"
+            )
+        if cb.ctx != one.ctx:
+            raise ValueError("input batch context differs from the NOT-constant's")
+        if b is None:
+            b = cb.batch
+        elif cb.batch != b:
+            raise ValueError(f"batch mismatch across wires: {cb.batch} vs {b}")
+    if b is None:
+        raise ValueError("circuit has no inputs")
+    ow = one.canonical().wt
+    one_b = CiphertextBatch(jnp.broadcast_to(ow[None], (b, *ow.shape)), one.ctx)
+
+    wires: dict[int, CiphertextBatch] = dict(enumerate(flat))
+    for g in netlist.gates:
+        if g.op == "XOR":
+            wires[g.out] = wires[g.ins[0]] + wires[g.ins[1]]
+        elif g.op == "AND":
+            wires[g.out] = wires[g.ins[0]] * wires[g.ins[1]]
+        elif g.op in ("INV", "NOT"):
+            wires[g.out] = wires[g.ins[0]] + one_b
+        elif g.op == "EQW":
+            wires[g.out] = wires[g.ins[0]]
+        else:  # EQ: 1 -> one, 0 -> one+one (a public encryption of 0)
+            wires[g.out] = one_b if g.ins[0] else one_b + one_b
     return _unflatten_outputs(netlist, wires)
 
 

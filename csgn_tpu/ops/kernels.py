@@ -34,6 +34,7 @@ __all__ = [
     "mul_decrypt_pallas_tiled",
     "mul_decrypt_pallas_tiled_ragged",
     "decrypt_parity_pallas",
+    "fill_anchor_pallas",
     "MUL_PALLAS_MIN_OUT",
 ]
 
@@ -569,6 +570,39 @@ def mul_decrypt_pallas_tiled_ragged(
     if return_count:
         return prod, parity[0]
     return prod, (parity[0] & 1).astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Write-speed-of-light anchor: a fill at the flat mul kernel's exact blocking
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("t1", "t2", "w"))
+def fill_anchor_pallas(seed: jax.Array, t1: int, t2: int, w: int) -> jax.Array:
+    """Write-only Pallas fill with `mul_chunks_pallas`'s blocking: out
+    [W, t1p*t2] in (W, BI*t2) blocks over a t1p/BI grid.
+
+    The bench's drift anchor (docs/performance.md "Measurement methodology"
+    items 4-6): raw-XLA fills get fused into their consumer slice, and
+    cross-job anchors ride hour drift, so every bench run measures THIS
+    kernel inside the same interleaved groups as the production kernels and
+    reports rates relative to it.  `seed` is a (1,) uint32 the fill
+    broadcasts — a traced input so the jit cannot constant-fold.
+    """
+    bi = _pick_bi(t2, w)
+    t1p = _round_up(t1, bi)
+
+    def kern(s_ref, o_ref):
+        o_ref[:] = jnp.full((w, bi * t2), s_ref[0], jnp.uint32)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=_out_struct((w, t1p * t2), jnp.uint32, seed),
+        grid=(t1p // bi,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((w, bi * t2), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(seed)
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,8 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 __all__ = [
     "BenesPlan",
@@ -308,24 +310,17 @@ def apply_benes_decrypt_pallas(
     the raw int32 count (the psum-able form for sharded use).  Bit-exact to
     `apply_benes` + `core.decrypt_parity`.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     w, c = words.shape
     wp = plan.words_pad
     bc = min(block_c, _max_block_c(wp), max(128, c))
     cp = -(-c // bc) * bc
     x = jnp.asarray(words).astype(jnp.uint32)
-    x = jnp.pad(x, ((0, wp - w), (0, cp - c)))
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, cp - c)))
     masks = jnp.asarray(plan.masks)
-    mask_col = jnp.pad(jnp.asarray(mask).reshape(w, 1), ((0, wp - w), (0, 0)))
-    deltas = plan.deltas
+    mask_col = jnp.asarray(mask).reshape(w, 1)
+    deltas, rows, stage_on, w_net = _plan_static(plan, w)
     n_stages = len(deltas)
-    rows = plan.rows if len(plan.rows) == n_stages else (wp,) * n_stages
-    stage_on = tuple(
-        not (isinstance(m, np.ndarray) and not m.any()) for m in plan.masks
-    )
-    live_in = min(wp, ((w + 7) // 8) * 8)
 
     def kern(m_ref, dk_ref, x_ref, o_ref, p_ref, acc_ref):
         step = pl.program_id(0)
@@ -334,36 +329,21 @@ def apply_benes_decrypt_pallas(
         def _():
             acc_ref[0] = 0
 
-        live = min(live_in, rows[0]) if n_stages else live_in
-        x = x_ref[0:live]
-        for s, delta in enumerate(deltas):
-            if not stage_on[s]:
-                continue  # all-zero mask: identity stage, no VPU work
-            rs = rows[s]
-            if rs > live:
-                x = jnp.concatenate(
-                    [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
-                )
-            elif rs < live:
-                x = x[0:rs]
-            live = rs
-            m = m_ref[s].reshape(wp, 1)[0:rs]
-            if delta < 32:
-                d = jnp.uint32(delta)
-                t = (x ^ (x << d)) & m
-                x = x ^ t ^ (t >> d)
-            else:
-                r = delta // 32
-                t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
-                x = x ^ t ^ pltpu.roll(t, r, axis=0)
-        o_ref[0:live] = x
-        if live < wp:
-            o_ref[live:wp] = jnp.zeros((wp - live, x.shape[1]), jnp.uint32)
-        # Decrypt accumulation on the still-resident block: the mask's
-        # nonzero rows all lie within the final live window (payload rows),
-        # and out-of-window rows are zero = trivially matching zero mask.
-        dk = dk_ref[0:live]
-        matches = jnp.all((x & dk) == dk, axis=0)
+        xw, live = _stage_chain(
+            x_ref[0:w_net], w_net,
+            lambda s: m_ref[s].reshape(wp, 1),
+            deltas, rows, stage_on,
+        )
+        _store_out(o_ref, xw, live, w)
+        # Decrypt accumulation on the still-resident block.  Rows beyond the
+        # overlap of the window and the key mask contribute trivially: window
+        # rows past the mask compare against a zero mask row (always match),
+        # mask rows past the window compare zero payload against a zero mask
+        # row (mask bits < n < live window reach), so the eq-all over the
+        # overlap is the full eq-all.
+        k = min(w, live)
+        dk = dk_ref[0:k]
+        matches = jnp.all((xw[0:k] & dk) == dk, axis=0)
         acc_ref[0] += jnp.sum(matches.astype(jnp.int32))
 
         @pl.when(step == pl.num_programs(0) - 1)
@@ -377,23 +357,24 @@ def apply_benes_decrypt_pallas(
     out, cnt = pl.pallas_call(
         kern,
         out_shape=[
-            jax.ShapeDtypeStruct((wp, cp), jnp.uint32, vma=vma),
+            jax.ShapeDtypeStruct((w, cp), jnp.uint32, vma=vma),
             jax.ShapeDtypeStruct((1,), jnp.int32, vma=vma),
         ],
         grid=(cp // bc,),
         in_specs=[
             pl.BlockSpec((n_stages, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(masks, mask_col, x)
-    out = out[:w, :c]
+    if cp != c:
+        out = out[:, :c]
     if return_count:
         return out, cnt[0]
     return out, (cnt[0] & 1).astype(jnp.uint32)
@@ -411,51 +392,24 @@ def apply_benes_batch_pallas(
     row windows, and writes the block once — one HBM read+write per element
     regardless of stage count, vs 2m-1 round trips for the XLA path.
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     k, w, c = words.shape
     wp = stacked.words_pad
     bc = min(block_c, _max_block_c(wp), max(128, c))
     cp = -(-c // bc) * bc
     x = jnp.asarray(words).astype(jnp.uint32)
-    x = jnp.pad(x, ((0, 0), (0, wp - w), (0, cp - c)))
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, cp - c)))
     masks = jnp.asarray(stacked.masks)
-    deltas = stacked.deltas
+    deltas, rows, stage_on, w_net = _plan_static(stacked, w)
     n_stages = len(deltas)
-    rows = stacked.rows
-    stage_on = tuple(
-        not (isinstance(stacked.masks, np.ndarray) and not stacked.masks[:, s].any())
-        for s in range(n_stages)
-    )
-    live_in = min(wp, ((w + 7) // 8) * 8)
 
     def kern(m_ref, x_ref, o_ref):
-        live = min(live_in, rows[0]) if n_stages else live_in
-        x = x_ref[0, 0:live]
-        for s, delta in enumerate(deltas):
-            if not stage_on[s]:
-                continue  # all-zero mask: identity stage, no VPU work
-            rs = rows[s]
-            if rs > live:  # grow the window with known-zero rows
-                x = jnp.concatenate(
-                    [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
-                )
-            elif rs < live:  # rows beyond rs are provably zero: drop them
-                x = x[0:rs]
-            live = rs
-            m = m_ref[0, s].reshape(wp, 1)[0:rs]
-            if delta < 32:
-                d = jnp.uint32(delta)
-                t = (x ^ (x << d)) & m
-                x = x ^ t ^ (t >> d)
-            else:
-                r = delta // 32
-                t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
-                x = x ^ t ^ pltpu.roll(t, r, axis=0)
-        o_ref[0, 0:live] = x
-        if live < wp:
-            o_ref[0, live:wp] = jnp.zeros((wp - live, x.shape[1]), jnp.uint32)
+        xw, live = _stage_chain(
+            x_ref[0, 0:w_net], w_net,
+            lambda s: m_ref[0, s].reshape(wp, 1),
+            deltas, rows, stage_on,
+        )
+        _store_out(o_ref.at[0], xw, live, w)
 
     interpret = jax.default_backend() != "tpu"
     vma = getattr(jax.typeof(x), "vma", frozenset()) | getattr(
@@ -463,27 +417,101 @@ def apply_benes_batch_pallas(
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((k, wp, cp), jnp.uint32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((k, w, cp), jnp.uint32, vma=vma),
         grid=(k, cp // bc),
         in_specs=[
             pl.BlockSpec(
                 (1, n_stages, wp), lambda ik, ic: (ik, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, wp, bc), lambda ik, ic: (ik, 0, ic), memory_space=pltpu.VMEM
+                (1, w, bc), lambda ik, ic: (ik, 0, ic), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, wp, bc), lambda ik, ic: (ik, 0, ic), memory_space=pltpu.VMEM
+            (1, w, bc), lambda ik, ic: (ik, 0, ic), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(masks, x)
-    return out[:, :w, :c]
+    return out if cp == c else out[:, :, :c]
 
 
 # ---------------------------------------------------------------------------
-# Pallas-fused application: all stages per VMEM block, one HBM read+write
+# Pallas-fused application: all stages per VMEM block, one HBM read+write.
+#
+# The kernels read and write the RAW [W, C] payload — no HBM-side row padding
+# to words_pad.  The r4 kernels padded rows 40 -> 64 with jnp.pad before the
+# pallas_call and sliced back after; in a chained pipeline XLA fuses the
+# slice+pad between calls into a full masking pass over the tensor (~0.5 ms
+# at 2^20 chunks — measured r5, artifacts/perm_study_r5.out), and the kernel
+# itself moved 64/40 = 1.6x the payload bytes.  Row padding is free INSIDE
+# the kernel: the stage chain already grows/shrinks its live row window per
+# stage, so the window simply starts at the input's W rows.
 # ---------------------------------------------------------------------------
+
+
+def _stage_chain(x, live, m_at, deltas, rows, stage_on):
+    """Run the delta-swap chain on a live-row window; returns (x, live).
+
+    `x` is a (live, bc) u32 array; `m_at(s)` yields stage s's packed mask as
+    a (wp, 1) column.  Rows outside the window are provably zero (payload
+    reach — see `BenesPlan.rows`), so the window grows with constant zeros
+    and shrinks by slicing.
+    """
+    for s, delta in enumerate(deltas):
+        if not stage_on[s]:
+            continue  # all-zero mask: identity stage, no VPU work
+        rs = rows[s]
+        if rs > live:  # grow the window with known-zero rows
+            x = jnp.concatenate(
+                [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
+            )
+        elif rs < live:  # rows beyond rs are provably zero: drop them
+            x = x[0:rs]
+        live = rs
+        m = m_at(s)[0:rs]
+        if delta < 32:
+            d = jnp.uint32(delta)
+            t = (x ^ (x << d)) & m
+            x = x ^ t ^ (t >> d)
+        else:
+            r = delta // 32
+            t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
+            x = x ^ t ^ pltpu.roll(t, r, axis=0)
+    return x, live
+
+
+def _plan_static(plan, w: int):
+    """Shared kernel prep: (deltas, rows, stage_on, w_net) for a plan or a
+    `StackedPlans` (stage s is ON if any of the k plans has a live mask).
+
+    `w_net` is the input row count the network touches: rows >= words_pad
+    hold bits >= n_pad >= n, zero in canonical form (w > wp only for n < 32
+    contexts, where words32 = 2 > wp = 1).
+    """
+    n_stages = len(plan.deltas)
+    rows = plan.rows if len(plan.rows) == n_stages else (plan.words_pad,) * n_stages
+    if isinstance(plan.masks, np.ndarray):
+        # BenesPlan masks are [S, WP]; StackedPlans are [k, S, WP] — reduce
+        # over every axis except the stage axis.
+        stage_axis = plan.masks.ndim - 2
+        alive = plan.masks.any(axis=tuple(
+            ax for ax in range(plan.masks.ndim) if ax != stage_axis
+        ))
+        stage_on = tuple(bool(a) for a in alive)
+    else:
+        stage_on = (True,) * n_stages
+    return plan.deltas, rows, stage_on, min(w, plan.words_pad)
+
+
+def _store_out(o_ref, x, live, w):
+    """Write the final window back to a W-row output block (rows beyond the
+    window are provably zero; rows beyond wp never entered the network and
+    are zero in canonical inputs)."""
+    if live >= w:
+        o_ref[0:w] = x[0:w]
+    else:
+        o_ref[0:live] = x
+        o_ref[live:w] = jnp.zeros((w - live, x.shape[1]), jnp.uint32)
 
 
 def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048) -> jax.Array:
@@ -491,66 +519,34 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
     each chunk block sits in VMEM.
 
     The XLA path materializes every stage to HBM (21 round trips); this
-    kernel reads and writes each chunk once and is VPU-compute-bound, so each
-    stage runs only on the plan's live row window (`BenesPlan.rows`), and
-    all-zero-mask stages are skipped entirely (structured perms).  Measured
-    at C=2^20: 70-115 GB/s packed hour-dependent, block_c=2048 the stable
-    within-job winner (r4 sweep: 82 vs 79/62/59 at 1024/4096/8192; the old
-    full-width kernel ran 45-56 — docs/performance.md has the roofline
-    argument: the VPU, not HBM, is the bound).  block_c is clamped to the
-    scoped-VMEM-safe `_max_block_c(wp)`.  Requires
-    C % block_c == 0 padding, handled here; zero-pad chunks permute to zero
-    (canonical).
+    kernel reads and writes each chunk ONCE — at the payload's W rows, with
+    no HBM-side row padding (r5; see module note above) — and is
+    VPU-compute-bound, so each stage runs only on the plan's live row window
+    (`BenesPlan.rows`), and all-zero-mask stages are skipped entirely
+    (structured perms).  block_c=2048 is the stable within-job winner (r4
+    sweep; bench.py auto-tunes), clamped to the scoped-VMEM-safe
+    `_max_block_c(wp)`.  The chunk axis is padded to a block multiple only
+    when C % block_c != 0 (zero chunks permute to zero, canonical).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     w, c = words.shape
     wp = plan.words_pad
     bc = min(block_c, _max_block_c(wp), max(128, c))
     cp = -(-c // bc) * bc
     x = jnp.asarray(words).astype(jnp.uint32)
-    x = jnp.pad(x, ((0, wp - w), (0, cp - c)))
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, cp - c)))
     masks = jnp.asarray(plan.masks)
-    deltas = plan.deltas
+    deltas, rows, stage_on, w_net = _plan_static(plan, w)
     n_stages = len(deltas)
-    # Per-stage live row window (see BenesPlan.rows): rows beyond it are
-    # provably zero, so each stage runs on a leading slice only.  Plans from
-    # older builds carry no rows; fall back to full-width stages.
-    rows = plan.rows if len(plan.rows) == n_stages else (wp,) * n_stages
-    stage_on = tuple(
-        not (isinstance(m, np.ndarray) and not m.any()) for m in plan.masks
-    )
-    live_in = min(wp, ((w + 7) // 8) * 8)  # 8-aligned cover of the input rows
 
     def kern(m_ref, x_ref, o_ref):
-        # rows[0] covers all payload rows; any extra input rows are zero
-        # padding (canonical form), so starting narrower is value-safe.
-        live = min(live_in, rows[0]) if n_stages else live_in
-        x = x_ref[0:live]
-        for s, delta in enumerate(deltas):
-            if not stage_on[s]:
-                continue  # all-zero mask: identity stage, no VPU work
-            rs = rows[s]
-            if rs > live:  # grow the window with known-zero rows
-                x = jnp.concatenate(
-                    [x, jnp.zeros((rs - live, x.shape[1]), jnp.uint32)], axis=0
-                )
-            elif rs < live:  # rows beyond rs are provably zero: drop them
-                x = x[0:rs]
-            live = rs
-            m = m_ref[s].reshape(wp, 1)[0:rs]
-            if delta < 32:
-                d = jnp.uint32(delta)
-                t = (x ^ (x << d)) & m
-                x = x ^ t ^ (t >> d)
-            else:
-                r = delta // 32
-                t = (x ^ pltpu.roll(x, rs - r, axis=0)) & m
-                x = x ^ t ^ pltpu.roll(t, r, axis=0)
-        o_ref[0:live] = x
-        if live < wp:
-            o_ref[live:wp] = jnp.zeros((wp - live, x.shape[1]), jnp.uint32)
+        # Rows >= w_net are canonical-zero; the window starts at the payload.
+        xw, live = _stage_chain(
+            x_ref[0:w_net], w_net,
+            lambda s: m_ref[s].reshape(wp, 1),
+            deltas, rows, stage_on,
+        )
+        _store_out(o_ref, xw, live, w)
 
     interpret = jax.default_backend() != "tpu"
     # vma propagation: required when called inside shard_map (check_vma).
@@ -559,13 +555,13 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048
     )
     out = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((wp, cp), jnp.uint32, vma=vma),
+        out_shape=jax.ShapeDtypeStruct((w, cp), jnp.uint32, vma=vma),
         grid=(cp // bc,),
         in_specs=[
             pl.BlockSpec((n_stages, wp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((wp, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((w, bc), lambda i: (0, i), memory_space=pltpu.VMEM),
         interpret=interpret,
     )(masks, x)
-    return out[:w, :c]
+    return out if cp == c else out[:, :c]

@@ -18,8 +18,9 @@ Semantics:
     `flush()` (or a group reaching `max_batch`, or the first
     `ServeFuture.result()` — results force a flush of everything pending).
   * Execution is deterministic: requests are batched in submission order and
-    encrypt randomness is derived from (executor rng, flush counter, slot),
-    so re-running the same submission sequence reproduces every ciphertext.
+    encrypt randomness is derived from (executor rng, encrypt-flush index,
+    slot) — independent of any interleaved non-encrypt groups — so
+    re-running the same submission sequence reproduces every ciphertext.
   * Single-threaded by design — the batching win is dispatch amortization,
     not host concurrency.  Wrap calls in a lock if driving from many threads.
 
@@ -118,6 +119,9 @@ class BatchExecutor:
         self._rng = rng if rng is not None else jax.random.key(0)
         self._max_batch = max_batch
         self._groups: dict[tuple, list[tuple]] = {}
+        self._enc_flushes = 0  # dedicated counter: encrypt randomness depends
+        # only on how many encrypt groups ran, never on unrelated op groups.
+        self._net_flushes = 0  # same discipline for netlist NOT-constants.
         self.stats = {"requests": 0, "flushes": 0, "group_dispatches": 0}
 
     # -- submission -------------------------------------------------------------
@@ -173,6 +177,31 @@ class BatchExecutor:
             raise ValueError("mul_decrypt: operand context mismatch")
         return self._enqueue(("muldec", a.ctx, a.chunks, b.chunks), (a, b))
 
+    def submit_netlist(self, netlist, inputs) -> ServeFuture:
+        """Evaluate a Bristol netlist over one request's encrypted inputs;
+        resolves to the nested output list (``list[list[Ciphertext]]``).
+
+        B queued same-circuit requests (same netlist, context, and per-wire
+        chunk shapes) run as ONE batched evaluation: each input wire stacks
+        across requests into a `CiphertextBatch` and every gate is one
+        batched dispatch for the whole fleet
+        (`models.netlist.eval_homomorphic_batch`), so the flush costs
+        O(gates) dispatches instead of O(B * gates).  Requires a key (the
+        NOT-constant is an encryption of 1 derived from the executor rng on
+        a stream independent of `submit_encrypt`'s).
+        """
+        from csgn_tpu.models.netlist import Netlist, _flatten_inputs
+
+        self._need_key("netlist")
+        if not isinstance(netlist, Netlist):
+            raise TypeError(f"expected Netlist, got {type(netlist).__name__}")
+        inputs = tuple(tuple(v) for v in inputs)
+        flat = _flatten_inputs(netlist, inputs)
+        for ct in flat:
+            self._check_ct(ct, "netlist")
+        shapes = tuple(ct.chunks for ct in flat)
+        return self._enqueue(("net", netlist, self._key.ctx, shapes), (netlist, inputs))
+
     def submit_permute(self, ct: Ciphertext, perm: Permutation) -> ServeFuture:
         """Apply a per-request permutation; B requests run the batched
         stacked-plan Beneš kernel (one dispatch for the whole fleet)."""
@@ -219,7 +248,8 @@ class BatchExecutor:
     def _run_enc(self, payloads: list[tuple]) -> list[Ciphertext]:
         sk = self._need_key("encrypt")
         bits = jnp.array([p[0] for p in payloads], dtype=jnp.uint8)
-        subkey = jax.random.fold_in(self._rng, self.stats["group_dispatches"])
+        subkey = jax.random.fold_in(self._rng, self._enc_flushes)
+        self._enc_flushes += 1
         words = sk.encrypt_batch(bits, subkey)  # [W, B]
         batch = CiphertextBatch.from_fresh(words, sk.ctx)
         return [batch[i] for i in range(len(payloads))]
@@ -249,6 +279,32 @@ class BatchExecutor:
         out, bits = sk.mul_and_decrypt_batch(ca, cb)
         host_bits = jax.device_get(bits)
         return [(out[i], int(host_bits[i])) for i in range(len(payloads))]
+
+    def _run_net(self, payloads: list[tuple]) -> list[list[list[Ciphertext]]]:
+        from csgn_tpu.models.netlist import eval_homomorphic_batch
+
+        sk = self._need_key("netlist")
+        netlist = payloads[0][0]  # group key pins one netlist per group
+        # One public encryption of 1 per netlist flush, on a stream tagged
+        # away from the submit_encrypt stream (reproducible; see class doc).
+        one_rng = jax.random.fold_in(
+            jax.random.fold_in(self._rng, 0x6E65), self._net_flushes
+        )
+        self._net_flushes += 1
+        one = sk.encrypt(1, one_rng)
+        # Stack each input wire across the group's requests.
+        stacked = [
+            [
+                _stack([p[1][v][j] for p in payloads])
+                for j in range(len(payloads[0][1][v]))
+            ]
+            for v in range(len(payloads[0][1]))
+        ]
+        out_batches = eval_homomorphic_batch(netlist, stacked, one)
+        return [
+            [[cb[i] for cb in value] for value in out_batches]
+            for i in range(len(payloads))
+        ]
 
     def _run_perm(self, payloads: list[tuple]) -> list[Ciphertext]:
         batch = _stack([ct for ct, _ in payloads])

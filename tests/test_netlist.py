@@ -191,3 +191,118 @@ def test_input_shape_errors(hom):
         eval_plain(nl, [[0, 1]])
     with pytest.raises(ValueError, match="bits, header says"):
         eval_homomorphic(nl, [one, one + one], gates)
+
+
+# -- batched evaluation ------------------------------------------------------------
+
+
+def test_batched_matches_scalar_and_plain(hom):
+    """One circuit over B input sets: eval_homomorphic_batch must be
+    bit-identical (canonical form) to the per-request scalar path and
+    decrypt to the plain oracle."""
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.models.netlist import eval_homomorphic_batch
+
+    sk, gates, key = hom
+    width = 3
+    nl = comparator_gt(width)
+    cases = [(5, 2), (2, 5), (7, 7), (0, 1), (6, 0)]
+    enc_a = [
+        _encrypt_bits(sk, x, width, jax.random.fold_in(key, 50 + i))
+        for i, (x, _) in enumerate(cases)
+    ]
+    enc_b = [
+        _encrypt_bits(sk, y, width, jax.random.fold_in(key, 90 + i))
+        for i, (_, y) in enumerate(cases)
+    ]
+    a_w = [CiphertextBatch.stack([enc_a[i][j] for i in range(len(cases))])
+           for j in range(width)]
+    b_w = [CiphertextBatch.stack([enc_b[i][j] for i in range(len(cases))])
+           for j in range(width)]
+    (out_b,) = eval_homomorphic_batch(nl, [a_w, b_w], gates.one)
+    assert out_b[0].batch == len(cases)
+    for i, (x, y) in enumerate(cases):
+        (out_s,) = eval_homomorphic(nl, [enc_a[i], enc_b[i]], gates)
+        got_batch = out_b[0][i]
+        assert int(sk.decrypt(got_batch)) == int(x > y), (x, y)
+        import numpy as np
+        assert np.array_equal(
+            np.asarray(got_batch.canonical().wt),
+            np.asarray(out_s[0].canonical().wt),
+        ), f"batched element {i} != scalar path"
+
+
+def test_batched_input_validation(hom):
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.models.netlist import eval_homomorphic_batch
+
+    sk, gates, key = hom
+    nl = equality(2)
+    cts = _encrypt_bits(sk, 2, 2, key)
+    b1 = CiphertextBatch.stack([cts[0], cts[1]])
+    b2 = CiphertextBatch.stack([cts[0]])
+    with pytest.raises(TypeError, match="CiphertextBatch"):
+        eval_homomorphic_batch(nl, [[cts[0], cts[1]], [cts[0], cts[1]]], gates.one)
+    with pytest.raises(ValueError, match="batch mismatch"):
+        eval_homomorphic_batch(nl, [[b1, b1], [b1, b2]], gates.one)
+
+
+# -- published-format files from disk ---------------------------------------------
+
+import pathlib
+
+_CIRCUITS = pathlib.Path(__file__).parent / "circuits"
+
+
+def test_adder64_file_from_disk(hom):
+    """Standard-suite adder64 interface (2x64 -> 64, little-endian, blank
+    header line, outputs on jumped final wires): parse from disk, check the
+    plain oracle over random pairs, and decrypt one homomorphic evaluation
+    end-to-end via the growth-free expr path (materialized growth of the top
+    bit exceeds 2^60 chunks)."""
+    nl = Netlist.parse((_CIRCUITS / "adder64.txt").read_text())
+    assert nl.n_inputs == 128 and nl.output_sizes == (64,)
+    assert nl.and_count == 125
+    rnd = random.Random(7)
+    for _ in range(25):
+        x, y = rnd.getrandbits(64), rnd.getrandbits(64)
+        (out,) = eval_plain(nl, [_bits(x, 64), _bits(y, 64)])
+        assert _from_bits(out) == (x + y) % 2**64, (x, y)
+    assert max(nl.growth()) > 2**60
+
+    sk, gates, key = hom
+    x, y = rnd.getrandbits(64), rnd.getrandbits(64)
+    a = _encrypt_bits(sk, x, 64, jax.random.fold_in(key, 640))
+    b = _encrypt_bits(sk, y, 64, jax.random.fold_in(key, 641))
+    (out,) = eval_expr(nl, [a, b], gates.one)
+    got = _from_bits([int(sk.decrypt_circuit(e)) for e in out])
+    assert got == (x + y) % 2**64
+
+
+def test_gt32_file_from_disk(hom):
+    """Comparator fixture: INV gates, single jumped output wire."""
+    nl = Netlist.parse((_CIRCUITS / "gt32.txt").read_text())
+    assert nl.n_inputs == 64 and nl.output_sizes == (1,)
+    rnd = random.Random(11)
+    cases = [(rnd.getrandbits(32), rnd.getrandbits(32)) for _ in range(25)]
+    cases += [(5, 5), (0, 0), (2**32 - 1, 0), (0, 2**32 - 1)]
+    for x, y in cases:
+        (out,) = eval_plain(nl, [_bits(x, 32), _bits(y, 32)])
+        assert out[0] == int(x > y), (x, y)
+
+    sk, gates, key = hom
+    for i, (x, y) in enumerate([(77, 12), (12, 77)]):
+        a = _encrypt_bits(sk, x, 32, jax.random.fold_in(key, 700 + i))
+        b = _encrypt_bits(sk, y, 32, jax.random.fold_in(key, 800 + i))
+        (out,) = eval_expr(nl, [a, b], gates.one)
+        assert int(sk.decrypt_circuit(out[0])) == int(x > y)
+
+
+def test_mand_file_rejected_loudly():
+    """Extended-format MAND (multi-output) must fail with an explicit MAND
+    message, not a generic parse error."""
+    with pytest.raises(ValueError, match="MAND"):
+        Netlist.parse((_CIRCUITS / "mand3.txt").read_text())
+    # ...and a single-output MAND line is rejected by circuit validation.
+    with pytest.raises(ValueError, match="MAND"):
+        Netlist.parse("1 3\n1 2\n1 1\n\n2 1 0 1 2 MAND\n")

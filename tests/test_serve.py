@@ -162,3 +162,53 @@ def test_group_failure_delivered_via_futures(sk, monkeypatch):
         assert f.done
         with pytest.raises(RuntimeError, match="device fell over"):
             f.result()
+
+
+def test_netlist_requests_batch_into_one_group(ex, sk):
+    """B same-circuit requests = one group dispatch; results match the plain
+    oracle and the direct scalar evaluation."""
+    from csgn_tpu.models import Gates
+    from csgn_tpu.models.netlist import comparator_gt, eval_homomorphic, eval_plain
+
+    width = 3
+    nl = comparator_gt(width)
+    cases = [(5, 1), (1, 5), (4, 4), (7, 0)]
+    reqs = []
+    for i, (x, y) in enumerate(cases):
+        a = _enc(sk, [(x >> j) & 1 for j in range(width)], seed=10 + i)
+        b = _enc(sk, [(y >> j) & 1 for j in range(width)], seed=40 + i)
+        reqs.append((a, b))
+    futs = [ex.submit_netlist(nl, [a, b]) for a, b in reqs]
+    assert ex.pending() == len(cases)
+    before = ex.stats["group_dispatches"]
+    ex.flush()
+    assert ex.stats["group_dispatches"] == before + 1  # ONE batched evaluation
+    for f, (x, y) in zip(futs, cases):
+        (out,) = f.result()
+        assert int(sk.decrypt(out[0])) == int(x > y), (x, y)
+
+
+def test_netlist_reproducible_and_guarded(sk, small_ctx):
+    from csgn_tpu import BatchExecutor
+    from csgn_tpu.models.netlist import equality
+
+    nl = equality(2)
+    a = _enc(sk, [1, 0], seed=77)
+    b = _enc(sk, [1, 0], seed=78)
+
+    outs = []
+    for _ in range(2):
+        e = BatchExecutor(sk, rng=jax.random.key(123))
+        (out,) = e.submit_netlist(nl, [a, b]).result()
+        outs.append(out[0].canonical())
+    import numpy as np
+    assert np.array_equal(np.asarray(outs[0].wt), np.asarray(outs[1].wt))
+
+    keyless = BatchExecutor()
+    with pytest.raises(ValueError, match="need a BatchExecutor"):
+        keyless.submit_netlist(nl, [a, b])
+    keyed = BatchExecutor(sk)
+    with pytest.raises(TypeError, match="expected Netlist"):
+        keyed.submit_netlist("nope", [a, b])
+    with pytest.raises(ValueError, match="bits, header says"):
+        keyed.submit_netlist(nl, [a[:1], b])
