@@ -360,10 +360,10 @@ def main():
 
         return permK
 
-    # r4 interleaved sweep (artifacts/perm_sweep_r4.out): 2048 wins (82 GB/s),
-    # 1024 close (79), 4096/8192 clearly lose (62/59) — larger blocks hurt
-    # the VMEM pipeline on this VPU-bound kernel.
-    perm_bcs = (1024, 2048, 4096) if on_tpu else (2048,)
+    # r5 no-pad kernel sweeps (.tpuq/perm_study_r5.out, perm_sweep2_r5.out,
+    # perm_ratio_r5.out): 1024 is the steady winner, 2048 close behind;
+    # 512/768/1536/4096/8192 clearly lose.  Auto-tune between the top two.
+    perm_bcs = (1024, 2048) if on_tpu else (1024,)
     perm_fns = {f"perm{bc}": make_permK(bc) for bc in perm_bcs}
     aux = interleaved_measure(
         {"enc": lambda: np.asarray(encK(bits)),

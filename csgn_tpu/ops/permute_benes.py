@@ -293,7 +293,7 @@ def apply_benes_decrypt_pallas(
     plan: BenesPlan,
     mask: jax.Array,
     *,
-    block_c: int = 2048,
+    block_c: int = 1024,
     return_count: bool = False,
 ):
     """Fused Beneš + decrypt: ``(permuted [W, C], parity)`` in ONE pass.
@@ -381,7 +381,7 @@ def apply_benes_decrypt_pallas(
 
 
 def apply_benes_batch_pallas(
-    words: jax.Array, stacked: StackedPlans, *, block_c: int = 2048
+    words: jax.Array, stacked: StackedPlans, *, block_c: int = 1024
 ) -> jax.Array:
     """Fused k-permutation Beneš on TPU: uint32[k, W, C] -> same, plan i
     applied to batch element i, all stages per VMEM-resident block.
@@ -514,7 +514,7 @@ def _store_out(o_ref, x, live, w):
         o_ref[live:w] = jnp.zeros((w - live, x.shape[1]), jnp.uint32)
 
 
-def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 2048) -> jax.Array:
+def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 1024) -> jax.Array:
     """Fused Beneš on TPU: uint32[W, C] -> same, all 2m-1 stages applied while
     each chunk block sits in VMEM.
 
