@@ -171,8 +171,16 @@ class Netlist:
     # -- (de)serialization -------------------------------------------------------
 
     @classmethod
-    def parse(cls, text: str) -> "Netlist":
-        """Parse Bristol-Fashion text (blank lines ignored)."""
+    def parse(cls, text: str, *, expand_mand: bool = False) -> "Netlist":
+        """Parse Bristol-Fashion text (blank lines ignored).
+
+        ``expand_mand=True`` accepts the EXTENDED format's multi-output MAND
+        lines (the published AES-class circuits use them: 2k inputs, k
+        outputs, out_j = in_j AND in_{k+j}) by expanding each into k 2-input
+        AND gates — gate count grows, wire numbering is unchanged.  The
+        default rejects MAND loudly: CSGN's basis is {XOR, AND, 1}, and a
+        caller should opt into the rewrite explicitly.
+        """
         lines = [ln.split() for ln in text.splitlines() if ln.strip()]
         if len(lines) < 3:
             raise ValueError("netlist needs header (3 lines) + gates")
@@ -183,21 +191,38 @@ class Netlist:
         if len(input_sizes) != int(in_hdr[0]) or len(output_sizes) != int(out_hdr[0]):
             raise ValueError("input/output header count mismatch")
         gates = []
+        seen_lines = 0
         for ln in lines[3:]:
-            n_in, n_out, op = int(ln[0]), int(ln[-1 - int(ln[1])]), ln[-1]
-            if int(ln[1]) != 1:
-                if ln[-1] == "MAND":
+            seen_lines += 1
+            n_in, n_out_cnt, op = int(ln[0]), int(ln[1]), ln[-1]
+            if n_out_cnt != 1:
+                if op == "MAND" and expand_mand:
+                    if n_in != 2 * n_out_cnt:
+                        raise ValueError(
+                            f"MAND needs 2x as many inputs as outputs: {' '.join(ln)}"
+                        )
+                    ins = [int(x) for x in ln[2 : 2 + n_in]]
+                    outs = [int(x) for x in ln[2 + n_in : 2 + n_in + n_out_cnt]]
+                    for j in range(n_out_cnt):
+                        gates.append(
+                            Gate(op="AND", ins=(ins[j], ins[n_out_cnt + j]), out=outs[j])
+                        )
+                    continue
+                if op == "MAND":
                     # Extended Bristol Fashion packs k parallel ANDs into one
-                    # multi-output line; CSGN's basis is {XOR, AND, 1} —
-                    # expand MAND into 2-input ANDs before evaluation.
+                    # multi-output line; CSGN's basis is {XOR, AND, 1} — opt
+                    # into the rewrite with parse(..., expand_mand=True).
                     raise ValueError(
-                        f"MAND (multi-output multi-AND) is not supported: {' '.join(ln)}"
+                        f"MAND (multi-output multi-AND) is not supported "
+                        f"(pass expand_mand=True to rewrite into 2-input "
+                        f"ANDs): {' '.join(ln)}"
                     )
                 raise ValueError(f"multi-output gates unsupported: {' '.join(ln)}")
+            out_w = int(ln[-1 - n_out_cnt])
             ins = tuple(int(x) for x in ln[2 : 2 + n_in])
-            gates.append(Gate(op=op, ins=ins, out=n_out))
-        if len(gates) != n_gates:
-            raise ValueError(f"header says {n_gates} gates, found {len(gates)}")
+            gates.append(Gate(op=op, ins=ins, out=out_w))
+        if seen_lines != n_gates:
+            raise ValueError(f"header says {n_gates} gates, found {seen_lines}")
         return cls(n_wires, input_sizes, output_sizes, tuple(gates))
 
     def to_text(self) -> str:

@@ -306,3 +306,15 @@ def test_mand_file_rejected_loudly():
     # ...and a single-output MAND line is rejected by circuit validation.
     with pytest.raises(ValueError, match="MAND"):
         Netlist.parse("1 3\n1 2\n1 1\n\n2 1 0 1 2 MAND\n")
+
+
+def test_mand_expansion_opt_in():
+    """parse(expand_mand=True) rewrites each extended-format MAND line into
+    k 2-input ANDs (out_j = in_j & in_{k+j}) and evaluates correctly."""
+    nl = Netlist.parse((_CIRCUITS / "mand3.txt").read_text(), expand_mand=True)
+    assert nl.and_count == 2 and nl.n_outputs == 3
+    for a0, a1, b0, b1 in [(1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 0, 1), (0, 0, 0, 0)]:
+        (out,) = eval_plain(nl, [[a0, a1], [b0, b1]])
+        assert out == [a0 & b0, a1 & b1, a0 ^ b0], (a0, a1, b0, b1)
+    with pytest.raises(ValueError, match="2x as many inputs"):
+        Netlist.parse("1 5\n1 3\n1 1\n\n3 2 0 1 2 3 4 MAND\n", expand_mand=True)
