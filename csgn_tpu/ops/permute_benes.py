@@ -191,16 +191,21 @@ def build_plan(perm: np.ndarray, n: int) -> BenesPlan:
 def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
     """Apply the planned permutation to packed chunks uint32[..., W, C].
 
-    W may be smaller than the network's word count (rows are zero-padded and
-    sliced back); padding bits are zero and identity-routed, so canonical
-    form is preserved.
+    W may differ from the network's word count: smaller W zero-pads the rows
+    and slices back (padding bits are zero and identity-routed); larger W
+    (n < 32 contexts, where words32 = 2 > words_pad = 1) drops the trailing
+    rows through the network — they hold bits >= n_pad >= n, zero in
+    canonical form — and restores them as zeros.  Canonical form is
+    preserved either way.
     """
     w = words.shape[-2]
     wp = plan.words_pad
     x = jnp.asarray(words).astype(jnp.uint32)
-    if wp != w:
+    if wp > w:
         pad = [(0, 0)] * (x.ndim - 2) + [(0, wp - w), (0, 0)]
         x = jnp.pad(x, pad)
+    elif wp < w:
+        x = x[..., :wp, :]
 
     for delta, mask in zip(plan.deltas, plan.masks):
         if isinstance(mask, np.ndarray) and not mask.any():
@@ -217,6 +222,9 @@ def apply_benes(words: jax.Array, plan: BenesPlan) -> jax.Array:
             t = (x ^ jnp.roll(x, -r, axis=-2)) & m
             x = x ^ t ^ jnp.roll(t, r, axis=-2)
 
+    if wp < w:  # restore the dropped (canonical-zero) trailing rows
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, w - wp), (0, 0)]
+        return jnp.pad(x, pad)
     return x[..., :w, :]
 
 
@@ -269,8 +277,10 @@ def apply_benes_batch(words: jax.Array, stacked: StackedPlans) -> jax.Array:
     k, w, c = words.shape
     wp = stacked.words_pad
     x = jnp.asarray(words).astype(jnp.uint32)
-    if wp != w:
+    if wp > w:
         x = jnp.pad(x, ((0, 0), (0, wp - w), (0, 0)))
+    elif wp < w:  # n < 32: trailing rows are canonical-zero (see apply_benes)
+        x = x[:, :wp, :]
     m_all = jnp.asarray(stacked.masks)
 
     for s, delta in enumerate(stacked.deltas):
@@ -285,6 +295,8 @@ def apply_benes_batch(words: jax.Array, stacked: StackedPlans) -> jax.Array:
             r = delta // 32
             t = (x ^ jnp.roll(x, -r, axis=-2)) & m
             x = x ^ t ^ jnp.roll(t, r, axis=-2)
+    if wp < w:
+        return jnp.pad(x, ((0, 0), (0, w - wp), (0, 0)))
     return x[:, :w, :]
 
 

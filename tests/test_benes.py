@@ -255,3 +255,54 @@ def test_zero_mask_stage_skip(ctx, kind):
     np.testing.assert_array_equal(np.asarray(got_b[0]), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(got_bp[0]), np.asarray(want))
     np.testing.assert_array_equal(np.asarray(got_b[1]), np.asarray(got_bp[1]))
+
+
+def test_tiny_n_words_exceed_network_width():
+    """n < 32 contexts have words32 = 2 > words_pad = 1: every path must
+    drop/restore the canonical-zero trailing row instead of negative-padding
+    (r5 regression: the XLA path raised on these shapes)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from csgn_tpu.context import Context
+    from csgn_tpu.ops import core, permute_benes
+
+    rng = np.random.default_rng(4)
+    for n in (17, 31):
+        ctx = Context(n, 3)
+        p = rng.permutation(n)
+        plan = permute_benes.build_plan(p, n)
+        assert plan.words_pad < ctx.words32
+        x = jnp.asarray(
+            rng.integers(0, 2**32, (ctx.words32, 16), dtype=np.uint32)
+            & ctx.valid_mask[:, None]
+        )
+        want = core.permute_chunks(x, jnp.asarray(p), n)
+        assert jnp.array_equal(permute_benes.apply_benes(x, plan), want)
+        assert jnp.array_equal(
+            permute_benes.apply_benes_pallas(x, plan, block_c=128), want
+        )
+        mask = np.zeros(ctx.words32, np.uint32)
+        for pos in range(0, n, 7):
+            mask[pos // 32] |= np.uint32(1) << (31 - pos % 32)
+        out, par = permute_benes.apply_benes_decrypt_pallas(
+            x, plan, jnp.asarray(mask), block_c=128
+        )
+        assert jnp.array_equal(out, want)
+        assert int(par) == int(core.decrypt_parity(want, jnp.asarray(mask)))
+        # batch paths: 3 distinct plans
+        ps = [rng.permutation(n) for _ in range(3)]
+        stacked = permute_benes.stack_plans(
+            [permute_benes.build_plan(q, n) for q in ps]
+        )
+        xb = jnp.asarray(
+            rng.integers(0, 2**32, (3, ctx.words32, 8), dtype=np.uint32)
+            & ctx.valid_mask[None, :, None]
+        )
+        want_b = jnp.stack(
+            [core.permute_chunks(xb[i], jnp.asarray(ps[i]), n) for i in range(3)]
+        )
+        assert jnp.array_equal(permute_benes.apply_benes_batch(xb, stacked), want_b)
+        assert jnp.array_equal(
+            permute_benes.apply_benes_batch_pallas(xb, stacked, block_c=128), want_b
+        )
