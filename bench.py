@@ -475,9 +475,14 @@ def main():
                 "enc_b_per_s": round(enc_batch / t_enc / 1e9, 2),
                 "enc_spread_pct": round(aux["enc"][1] * 100, 1),
                 "enc_suspect": enc_suspect,
+                # same-JOB (not same-group) anchor ratios for the aux rows:
+                # coarser than value_vs_anchor but still separates a slow
+                # hour from a kernel regression across rounds.
+                "enc_vs_anchor": round(enc_batch * w * 4 / t_enc / 1e9 / anchor_gbps, 3),
                 "perm_gbps": round(pc * w * 4 / t_perm / 1e9, 1),
                 "perm_block_c": perm_bc,
                 "perm_spread_pct": round(aux[f"perm{perm_bc}"][1] * 100, 1),
+                "perm_vs_anchor": round(pc * w * 4 / t_perm / 1e9 / anchor_gbps, 3),
                 "serve_speedup": round(serve_speedup, 1),
                 "serve_loop_ms": round(t_loop * 1e3, 1),
                 "serve_batch_ms": round(t_batch * 1e3, 1),
