@@ -58,3 +58,12 @@ def test_netlist_service_example():
     assert out["bidders"] == 6
     assert out["encrypt_dispatches"] == 1
     assert all(q in (0, 1) for q in out["qualified"])
+
+
+def test_bristol_adder_example():
+    import bristol_adder
+
+    out = bristol_adder.main(x=2**63 + 12345, y=2**63 + 99999, sample_bits=8)
+    assert out["sum"] == (2**63 + 12345 + 2**63 + 99999) % 2**64
+    assert out["and_gates"] == 125
+    assert out["decrypted_bits_checked"] >= 8
