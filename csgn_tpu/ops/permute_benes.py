@@ -42,8 +42,12 @@ __all__ = [
     "BENES_PALLAS_MIN_C",
 ]
 
-# Below this chunk count the XLA path wins (dispatch overhead + small blocks).
-BENES_PALLAS_MIN_C = 8192
+# Crossover to the fused Pallas kernel.  r5 device-chained probe
+# (.tpuq/perm_crossover_r5.out, fori_loop x512 so tunnel RTT cancels):
+# Pallas wins at every size measured (48.7 vs 50.6 us/op at C=1024, 90 vs
+# 152 at 32768) — both paths are launch-overhead-bound below ~2048, where
+# the difference is noise and XLA's fusible form is worth keeping.
+BENES_PALLAS_MIN_C = 2048
 
 
 def _max_block_c(wp: int) -> int:
