@@ -309,6 +309,43 @@ class SecretKey:
 
         return Plaintext(lift(expr).fold(lambda ct: int(self.decrypt(ct))))
 
+    def decrypt_circuits(self, exprs) -> list[Plaintext]:
+        """Decrypt MANY +/* DAGs sharing leaves with batched leaf decrypts.
+
+        `decrypt_circuit` issues one device op per distinct leaf per call; a
+        multi-output circuit (e.g. the 64 sum bits of an adder netlist, all
+        folding over the same 128 input leaves) would pay
+        outputs × leaves dispatches.  This collects the distinct leaves
+        across ALL the DAGs, decrypts each same-shape group in ONE batched
+        dispatch (`decrypt_batch`), and folds every DAG host-side from the
+        shared bit table — a netlist's whole output vector decrypts in a
+        handful of dispatches.  Bit-exact to per-expr `decrypt_circuit`.
+        """
+        from csgn_tpu.batch import CiphertextBatch
+        from csgn_tpu.circuit import lift
+
+        exprs = [lift(e) for e in exprs]
+        leaves: list[Ciphertext] = []
+        seen: set[int] = set()
+        for e in exprs:
+            for ct in e.leaves():
+                if id(ct) not in seen:
+                    seen.add(id(ct))
+                    leaves.append(ct)
+        for ct in leaves:
+            if ct.ctx != self.ctx:
+                raise ValueError("ciphertext context mismatch")
+        groups: dict[tuple, list[Ciphertext]] = {}
+        for ct in leaves:
+            groups.setdefault(tuple(ct.wt.shape), []).append(ct)
+        bits: dict[int, int] = {}
+        for cts in groups.values():
+            batch = CiphertextBatch(jnp.stack([c.wt for c in cts]), self.ctx)
+            vals = jax.device_get(self.decrypt_batch(batch))
+            for c, v in zip(cts, vals):
+                bits[id(c)] = int(v)
+        return [Plaintext(e.fold(lambda ct: bits[id(ct)])) for e in exprs]
+
     def recrypt(self, ciphertext: Ciphertext, rng: jax.Array) -> Ciphertext:
         """Key-side re-encryption: decrypt and produce a fresh 1-chunk
         ciphertext of the same bit.

@@ -24,7 +24,7 @@ CIRCUIT = pathlib.Path(__file__).resolve().parent.parent / "tests" / "circuits" 
 
 
 def main(x: int = 123456789, y: int = 987654321, n: int = 95, d: int = 4,
-         seed: int = 0, sample_bits: int = 8) -> dict:
+         seed: int = 0) -> dict:
     import jax
 
     from csgn_tpu import Context, SecretKey
@@ -51,23 +51,23 @@ def main(x: int = 123456789, y: int = 987654321, n: int = 95, d: int = 4,
     plain_val = sum(b << i for i, b in enumerate(plain))
     assert plain_val == want, (plain_val, want)
 
-    step = max(1, 64 // sample_bits)
-    checked = {}
-    for i in range(0, 64, step):
-        bit = int(sk.decrypt_circuit(expr_out[i]))
-        assert bit == (want >> i) & 1, (i, bit)
-        checked[i] = bit
+    # All 64 output DAGs share the 128 input leaves: decrypt_circuits
+    # decrypts the leaf set in ONE batched dispatch and folds every DAG
+    # host-side (vs 64 x 128 leaf decrypts with per-bit decrypt_circuit).
+    out_bits = [int(v) for v in sk.decrypt_circuits(expr_out)]
+    got = sum(b << i for i, b in enumerate(out_bits))
+    assert got == want, (got, want)
 
     out = {
         "x": x, "y": y, "sum": want,
         "gates": len(nl.gates), "and_gates": nl.and_count,
         "materialized_growth_max": max(nl.growth()),
-        "decrypted_bits_checked": len(checked),
+        "decrypted_bits_checked": 64,
     }
     print(f"adder64: {x} + {y} = {want}  "
           f"({len(nl.gates)} gates, {nl.and_count} ANDs, "
           f"materialized growth would be {out['materialized_growth_max']:.2e} chunks; "
-          f"{len(checked)} output bits decrypted and verified)")
+          f"all 64 output bits decrypted via one batched leaf decrypt)")
     return out
 
 

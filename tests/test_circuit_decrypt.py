@@ -99,3 +99,52 @@ def test_fuzz_random_dags_vs_materialized(small_ctx, rng):
         assert got == want, f"trial {trial}: circuit {got} != plaintext {want}"
         if expr.chunks <= 4096:
             assert got == int(sk.decrypt(expr.materialize()))
+
+
+def test_decrypt_circuits_batched_leaves(setup, rng):
+    """decrypt_circuits == per-expr decrypt_circuit, with ONE batched leaf
+    decrypt per distinct leaf shape (not one per leaf per output)."""
+    import jax
+
+    from csgn_tpu.models.netlist import adder, eval_expr
+
+    sk, _enc = setup
+    key = jax.random.fold_in(rng, 777)
+    width = 6
+    nl = adder(width)
+    ks = jax.random.split(key, 2 * width + 1)
+    x, y = 41, 27
+    a = [sk.encrypt((x >> i) & 1, ks[i]) for i in range(width)]
+    b = [sk.encrypt((y >> i) & 1, ks[width + i]) for i in range(width)]
+    # grow one leaf to 2 chunks so two shape groups exist
+    a[0] = a[0] + sk.encrypt(0, ks[-1])
+    one = sk.encrypt(1, jax.random.key(999))
+    (outs,) = eval_expr(nl, [a, b], one)
+
+    calls = []
+    orig = type(sk).decrypt_batch
+
+    def spy(self, words):
+        calls.append(1)
+        return orig(self, words)
+
+    type(sk).decrypt_batch = spy
+    try:
+        got = [int(v) for v in sk.decrypt_circuits(outs)]
+    finally:
+        type(sk).decrypt_batch = orig
+    # 13 leaves in 2 shape groups -> exactly 2 batched decrypts for 7 outputs
+    assert len(calls) == 2
+    want = [int(sk.decrypt_circuit(e)) for e in outs]
+    assert got == want
+    s = sum(bit << i for i, bit in enumerate(got))
+    assert s == x + y
+
+    import pytest as _pytest
+
+    from csgn_tpu.context import Context
+    from csgn_tpu.secret_key import SecretKey
+
+    other = SecretKey.generate(Context(sk.ctx.n + 2, sk.ctx.d), jax.random.key(1))
+    with _pytest.raises(ValueError, match="context mismatch"):
+        other.decrypt_circuits(outs)
