@@ -55,8 +55,9 @@ def main(bidders: int = 8, width: int = 16, n: int = 95, d: int = 4, seed: int =
     netlist = comparator_gt(width)
     exprs = [eval_expr(netlist, [eb, enc_reserve], one)[0][0] for eb in enc_bids]
 
-    # --- auctioneer: decrypt each DAG from its fresh leaves
-    qualified = [int(sk.decrypt_circuit(e)) for e in exprs]
+    # --- auctioneer: all bids' DAGs share the reserve leaves — one batched
+    # leaf decrypt for the whole auction (decrypt_circuits, r5)
+    qualified = [int(v) for v in sk.decrypt_circuits(exprs)]
 
     want = [int(v > reserve) for v in bids]
     assert qualified == want, (bids.tolist(), reserve, qualified, want)
