@@ -202,6 +202,32 @@ class BatchExecutor:
         shapes = tuple(ct.chunks for ct in flat)
         return self._enqueue(("net", netlist, self._key.ctx, shapes), (netlist, inputs))
 
+    def submit_decrypt_circuit(self, expr) -> ServeFuture:
+        """Decrypt a +/* DAG (`CtExpr` or Ciphertext); resolves to an int bit.
+
+        All pending circuit requests flush as ONE `SecretKey.decrypt_circuits`
+        call: distinct leaves across every submitted DAG decrypt in one
+        batched dispatch per leaf shape, then each DAG folds host-side — a
+        fleet of expr readouts (e.g. the auction pattern in
+        examples/netlist_service.py) costs a handful of dispatches total.
+        """
+        from csgn_tpu.circuit import CtExpr
+
+        sk = self._need_key("decrypt_circuit")
+        if isinstance(expr, Ciphertext):
+            self._check_ct(expr, "decrypt_circuit")
+        elif isinstance(expr, CtExpr):
+            for leaf in expr.leaves():
+                if leaf.ctx != sk.ctx:
+                    raise ValueError(
+                        "decrypt_circuit: leaf context differs from the key's"
+                    )
+        else:
+            raise TypeError(
+                f"decrypt_circuit expects CtExpr or Ciphertext, got {type(expr).__name__}"
+            )
+        return self._enqueue(("deccirc", sk.ctx), (expr,))
+
     def submit_permute(self, ct: Ciphertext, perm: Permutation) -> ServeFuture:
         """Apply a per-request permutation; B requests run the batched
         stacked-plan Beneš kernel (one dispatch for the whole fleet)."""
@@ -305,6 +331,10 @@ class BatchExecutor:
             [[cb[i] for cb in value] for value in out_batches]
             for i in range(len(payloads))
         ]
+
+    def _run_deccirc(self, payloads: list[tuple]) -> list[int]:
+        sk = self._need_key("decrypt_circuit")
+        return [int(v) for v in sk.decrypt_circuits([p[0] for p in payloads])]
 
     def _run_perm(self, payloads: list[tuple]) -> list[Ciphertext]:
         batch = _stack([ct for ct, _ in payloads])

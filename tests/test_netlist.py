@@ -318,3 +318,59 @@ def test_mand_expansion_opt_in():
         assert out == [a0 & b0, a1 & b1, a0 ^ b0], (a0, a1, b0, b1)
     with pytest.raises(ValueError, match="2x as many inputs"):
         Netlist.parse("1 5\n1 3\n1 1\n\n3 2 0 1 2 3 4 MAND\n", expand_mand=True)
+
+
+def test_random_netlists_batched_equals_scalar():
+    """Property: random valid netlists evaluate identically on the plain,
+    scalar-homomorphic, batched, and expr paths."""
+    import random as _random
+
+    import numpy as np
+
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.context import Context
+    from csgn_tpu.models import Gates
+    from csgn_tpu.models.netlist import (
+        Netlist, _Builder, eval_expr, eval_homomorphic,
+        eval_homomorphic_batch, eval_plain,
+    )
+    from csgn_tpu.secret_key import SecretKey
+
+    ctx = Context(95, 4)
+    sk = SecretKey.generate(ctx, jax.random.key(77))
+    gates = Gates(sk.encrypt(1, jax.random.key(78)))
+    rnd = _random.Random(5)
+    for trial in range(4):
+        n_in = rnd.randint(2, 4)
+        b = _Builder([n_in])
+        live = list(range(n_in))
+        for _ in range(rnd.randint(3, 7)):
+            op = rnd.choice(["XOR", "AND", "INV"])
+            if op == "INV":
+                live.append(b.inv(rnd.choice(live)))
+            else:
+                live.append(b.emit(op, rnd.choice(live), rnd.choice(live)))
+        nl = b.finish([live[-1], rnd.choice(live)], [2])
+        nl = Netlist.parse(nl.to_text())  # roundtrip through the format
+        B = 3
+        cases = [[rnd.randint(0, 1) for _ in range(n_in)] for _ in range(B)]
+        enc = [
+            [sk.encrypt(bit, jax.random.fold_in(jax.random.key(trial), 10 * i + j))
+             for j, bit in enumerate(row)]
+            for i, row in enumerate(cases)
+        ]
+        wires = [CiphertextBatch.stack([enc[i][j] for i in range(B)])
+                 for j in range(n_in)]
+        (out_b,) = eval_homomorphic_batch(nl, [wires], gates.one)
+        for i in range(B):
+            (plain,) = eval_plain(nl, [cases[i]])
+            (mat,) = eval_homomorphic(nl, [enc[i]], gates)
+            (exp,) = eval_expr(nl, [enc[i]], gates.one)
+            for k in range(2):
+                assert int(sk.decrypt(out_b[k][i])) == plain[k]
+                assert int(sk.decrypt(mat[k])) == plain[k]
+                assert int(sk.decrypt_circuit(exp[k])) == plain[k]
+                assert np.array_equal(
+                    np.asarray(out_b[k][i].canonical().wt),
+                    np.asarray(mat[k].canonical().wt),
+                )

@@ -212,3 +212,30 @@ def test_netlist_reproducible_and_guarded(sk, small_ctx):
         keyed.submit_netlist("nope", [a, b])
     with pytest.raises(ValueError, match="bits, header says"):
         keyed.submit_netlist(nl, [a[:1], b])
+
+
+def test_decrypt_circuit_requests_group(ex, sk):
+    """Expr-decrypt requests flush as one decrypt_circuits call; results
+    match per-expr decryption and a plain Ciphertext submits fine too."""
+    from csgn_tpu.models.netlist import equality, eval_expr
+
+    nl = equality(2)
+    one = _enc(sk, [1], seed=300)[0]
+    exprs = []
+    cases = [(2, 2), (2, 1), (3, 3), (0, 3)]
+    for i, (x, y) in enumerate(cases):
+        a = _enc(sk, [(x >> j) & 1 for j in range(2)], seed=310 + i)
+        b = _enc(sk, [(y >> j) & 1 for j in range(2)], seed=350 + i)
+        exprs.append(eval_expr(nl, [a, b], one)[0][0])
+    futs = [ex.submit_decrypt_circuit(e) for e in exprs]
+    futs.append(ex.submit_decrypt_circuit(one))  # plain Ciphertext leaf
+    before = ex.stats["group_dispatches"]
+    ex.flush()
+    assert ex.stats["group_dispatches"] == before + 1
+    got = [f.result() for f in futs]
+    assert got == [int(x == y) for x, y in cases] + [1]
+
+    import pytest as _p
+    with _p.raises(TypeError, match="CtExpr or Ciphertext"):
+        ex.submit_decrypt_circuit(42)
+
