@@ -123,6 +123,16 @@ class Netlist:
             if w not in assigned and w >= n_in:
                 raise ValueError(f"output wire {w} is never driven")
 
+    def __hash__(self) -> int:
+        """Cached: serving executors key request groups by netlist, and the
+        dataclass-generated hash walks every Gate on every submit (O(gates)
+        per request for published-size circuits)."""
+        h = self.__dict__.get("_hash")
+        if h is None:
+            h = hash((self.n_wires, self.input_sizes, self.output_sizes, self.gates))
+            object.__setattr__(self, "_hash", h)
+        return h
+
     # -- derived ---------------------------------------------------------------
 
     @property
@@ -195,19 +205,21 @@ class Netlist:
         for ln in lines[3:]:
             seen_lines += 1
             n_in, n_out_cnt, op = int(ln[0]), int(ln[1]), ln[-1]
+            if op == "MAND" and expand_mand:
+                # Handles k = 1 too (a degenerate single-output MAND line is
+                # a plain AND in the extended format).
+                if n_in != 2 * n_out_cnt:
+                    raise ValueError(
+                        f"MAND needs 2x as many inputs as outputs: {' '.join(ln)}"
+                    )
+                ins = [int(x) for x in ln[2 : 2 + n_in]]
+                outs = [int(x) for x in ln[2 + n_in : 2 + n_in + n_out_cnt]]
+                for j in range(n_out_cnt):
+                    gates.append(
+                        Gate(op="AND", ins=(ins[j], ins[n_out_cnt + j]), out=outs[j])
+                    )
+                continue
             if n_out_cnt != 1:
-                if op == "MAND" and expand_mand:
-                    if n_in != 2 * n_out_cnt:
-                        raise ValueError(
-                            f"MAND needs 2x as many inputs as outputs: {' '.join(ln)}"
-                        )
-                    ins = [int(x) for x in ln[2 : 2 + n_in]]
-                    outs = [int(x) for x in ln[2 + n_in : 2 + n_in + n_out_cnt]]
-                    for j in range(n_out_cnt):
-                        gates.append(
-                            Gate(op="AND", ins=(ins[j], ins[n_out_cnt + j]), out=outs[j])
-                        )
-                    continue
                 if op == "MAND":
                     # Extended Bristol Fashion packs k parallel ANDs into one
                     # multi-output line; CSGN's basis is {XOR, AND, 1} — opt

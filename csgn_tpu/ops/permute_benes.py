@@ -539,8 +539,9 @@ def apply_benes_pallas(words: jax.Array, plan: BenesPlan, *, block_c: int = 1024
     no HBM-side row padding (r5; see module note above) — and is
     VPU-compute-bound, so each stage runs only on the plan's live row window
     (`BenesPlan.rows`), and all-zero-mask stages are skipped entirely
-    (structured perms).  block_c=2048 is the stable within-job winner (r4
-    sweep; bench.py auto-tunes), clamped to the scoped-VMEM-safe
+    (structured perms).  block_c=1024 is the steady within-job winner (r5
+    sweeps, artifacts/perm_study_r5.out + perm_sweep2_r5.out; bench.py
+    auto-tunes {1024, 2048}), clamped to the scoped-VMEM-safe
     `_max_block_c(wp)`.  The chunk axis is padded to a block multiple only
     when C % block_c != 0 (zero chunks permute to zero, canonical).
     """

@@ -374,3 +374,10 @@ def test_random_netlists_batched_equals_scalar():
                     np.asarray(out_b[k][i].canonical().wt),
                     np.asarray(mat[k].canonical().wt),
                 )
+
+
+def test_single_output_mand_expands():
+    nl = Netlist.parse("1 3\n1 2\n1 1\n\n2 1 0 1 2 MAND\n", expand_mand=True)
+    assert [g.op for g in nl.gates] == ["AND"]
+    assert eval_plain(nl, [[1, 1]]) == [[1]]
+    assert eval_plain(nl, [[1, 0]]) == [[0]]
