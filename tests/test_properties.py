@@ -91,3 +91,28 @@ def test_mul_is_and_on_parities(seed):
         cb = cb + _SK.encrypt(bits_b[i], ks[ta + i])
     want = (sum(bits_a) % 2) & (sum(bits_b) % 2)
     assert int(_SK.decrypt(ca * cb)) == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(17, 300), st.integers(1, 260), st.integers(0, 2**31 - 1))
+def test_benes_pallas_random_shapes(n, c, seed):
+    """The no-pad Beneš kernel matches the gather oracle for arbitrary
+    (n, chunks) — exercises every live-row-window interaction: w > wp
+    (n < 32), unaligned chunk tails, rows windows above/below W."""
+    import numpy as np
+
+    from csgn_tpu.context import Context
+    from csgn_tpu.ops import core, permute_benes
+
+    ctx = Context(n, min(3, n - 1))
+    r = np.random.default_rng(seed)
+    perm = r.permutation(n)
+    plan = permute_benes.build_plan(perm, n)
+    x = jnp.asarray(
+        r.integers(0, 2**32, (ctx.words32, c), dtype=np.uint32)
+        & ctx.valid_mask[:, None]
+    )
+    want = core.permute_chunks(x, jnp.asarray(perm), n)
+    got = permute_benes.apply_benes_pallas(x, plan, block_c=128)
+    assert jnp.array_equal(got, want)
+    assert jnp.array_equal(permute_benes.apply_benes(x, plan), want)
