@@ -117,6 +117,87 @@ def gt32() -> str:
     return e.text([w, w], [1])
 
 
+def aes_sbox() -> str:
+    """AES-128 S-box: one 8-bit input -> one 8-bit output (little-endian).
+
+    Built algebraically — GF(2^8) inversion as x^254 (4 multiplications +
+    7 squarings, field reduction mod x^8+x^4+x^3+x+1) followed by the
+    standard affine map with constant 0x63 — NOT the Boyar-Peralta
+    gate-minimized published file, but the same interface/class; the test
+    verifies all 256 plain evaluations against an independently constructed
+    log/antilog S-box table, plus the spec anchors S(0x00)=0x63,
+    S(0x01)=0x7C, S(0x53)=0xED (FIPS-197 worked example).  inv(0)=0 falls
+    out of x^254 automatically.
+    """
+    gates: list[tuple] = []  # (op, ins..., placeholder) resolved at emit
+    next_wire = [8]
+
+    def emit(op: str, *ins: int) -> int:
+        w = next_wire[0]
+        next_wire[0] += 1
+        gates.append((op, ins, w))
+        return w
+
+    def xor_tree(ws: list[int]) -> int:
+        assert ws
+        acc = ws[0]
+        for w in ws[1:]:
+            acc = emit("XOR", acc, w)
+        return acc
+
+    def reduce15(coeffs: list[list[int]]) -> list[list[int]]:
+        """Reduce 15 coefficient wire-lists mod x^8 + x^4 + x^3 + x + 1."""
+        c = [list(ws) for ws in coeffs]
+        for k in range(14, 7, -1):
+            for tgt in (k - 4, k - 5, k - 7, k - 8):
+                c[tgt].extend(c[k])
+            c[k] = []
+        return c[:8]
+
+    def gf_mul(a: list[int], b: list[int]) -> list[int]:
+        prods: list[list[int]] = [[] for _ in range(15)]
+        for i in range(8):
+            for j in range(8):
+                prods[i + j].append(emit("AND", a[i], b[j]))
+        return [xor_tree(ws) for ws in reduce15(prods)]
+
+    def gf_sq(a: list[int]) -> list[int]:
+        coeffs: list[list[int]] = [[] for _ in range(15)]
+        for i in range(8):
+            coeffs[2 * i].append(a[i])
+        # pure rewiring + XOR trees (squaring is linear over GF(2))
+        return [xor_tree(ws) if ws else [emit("EQ", 0)][0]
+                for ws in reduce15(coeffs)]
+
+    x = list(range(8))
+    t2 = gf_sq(x)                       # x^2
+    t3 = gf_mul(t2, x)                  # x^3
+    t12 = gf_sq(gf_sq(t3))              # x^12
+    t15 = gf_mul(t12, t3)               # x^15
+    t240 = gf_sq(gf_sq(gf_sq(gf_sq(t15))))  # x^240
+    t252 = gf_mul(t240, t12)            # x^252
+    inv = gf_mul(t252, t2)              # x^254 = x^-1 (and 0 -> 0)
+
+    # Affine: b_i = a_i ^ a_{i+4} ^ a_{i+5} ^ a_{i+6} ^ a_{i+7} ^ c_i, c=0x63
+    out_bits = []
+    for i in range(8):
+        w = xor_tree([inv[i], inv[(i + 4) % 8], inv[(i + 5) % 8],
+                      inv[(i + 6) % 8], inv[(i + 7) % 8]])
+        if (0x63 >> i) & 1:
+            w = emit("INV", w)
+        out_bits.append(w)
+
+    # Renumber so the 8 output bits land on the final wires (EQW copies keep
+    # the generator simple; the adder64/gt32 fixtures cover jumped numbering).
+    for i, w in enumerate(out_bits):
+        gates.append(("EQW", (w,), next_wire[0] + i))
+    n_wires = next_wire[0] + 8
+    lines = [f"{len(gates)} {n_wires}", "1 8", "1 8", ""]
+    for op, ins, w in gates:
+        lines.append(f"{len(ins)} 1 {' '.join(map(str, ins))} {w} {op}")
+    return "\n".join(lines) + "\n"
+
+
 def mand3() -> str:
     """Extended-format fixture: a multi-output MAND line ("two ANDs in one
     gate"), which the CSGN parser must reject loudly, plus an EQ constant."""
@@ -135,8 +216,9 @@ def main() -> None:
     OUT.mkdir(exist_ok=True)
     (OUT / "adder64.txt").write_text(adder64())
     (OUT / "gt32.txt").write_text(gt32())
+    (OUT / "aes_sbox.txt").write_text(aes_sbox())
     (OUT / "mand3.txt").write_text(mand3())
-    for f in ("adder64.txt", "gt32.txt", "mand3.txt"):
+    for f in ("adder64.txt", "gt32.txt", "aes_sbox.txt", "mand3.txt"):
         n = (OUT / f).read_text().count("\n")
         print(f"wrote tests/circuits/{f} ({n} lines)")
 
