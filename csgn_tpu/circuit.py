@@ -34,7 +34,39 @@ from csgn_tpu.ciphertext import Ciphertext
 if typing.TYPE_CHECKING:
     from csgn_tpu.permutation import Permutation
 
-__all__ = ["CtExpr", "lift"]
+__all__ = [
+    "CtExpr",
+    "lift",
+    "fold_many",
+    "collect_leaves",
+    "CHUNKS_SAT",
+    "sat_add",
+    "sat_mul",
+]
+
+CHUNKS_SAT = 1 << 63
+"""Chunk-count accounting saturates here.
+
+Chunk counts are *metadata* (HBM budgeting, `nbytes_materialized`); computing
+them exactly for deep circuits is itself infeasible — an AND-depth-40 circuit
+(AES-128) has exact chunk counts with ~10^24 BITS, so unbounded Python-int
+accounting hangs before any device work starts.  2^63 chunks is astronomically
+beyond any HBM (and any budget guard's threshold), and every count below the
+cap stays exact, so saturation changes no reachable decision.
+"""
+
+
+def sat_add(a: int, b: int) -> int:
+    """``a + b`` capped at `CHUNKS_SAT` (exact below the cap)."""
+    s = a + b
+    return s if s < CHUNKS_SAT else CHUNKS_SAT
+
+
+def sat_mul(a: int, b: int) -> int:
+    """``a * b`` capped at `CHUNKS_SAT` (exact below the cap)."""
+    if a and b > CHUNKS_SAT // a:
+        return CHUNKS_SAT
+    return a * b
 
 
 def lift(x: "Ciphertext | CtExpr") -> "CtExpr":
@@ -53,19 +85,19 @@ class CtExpr:
     op: str                       # "leaf" | "add" | "mul"
     ct: Ciphertext | None         # leaf payload
     args: tuple["CtExpr", ...]    # operands for add/mul
-    chunks: int                   # chunk count of the materialized equivalent
+    chunks: int                   # materialized chunk count, capped at CHUNKS_SAT
 
     # -- construction ---------------------------------------------------------
 
     def __add__(self, other: "Ciphertext | CtExpr") -> "CtExpr":
         other = lift(other)
-        return CtExpr("add", None, (self, other), self.chunks + other.chunks)
+        return CtExpr("add", None, (self, other), sat_add(self.chunks, other.chunks))
 
     __radd__ = __add__
 
     def __mul__(self, other: "Ciphertext | CtExpr") -> "CtExpr":
         other = lift(other)
-        return CtExpr("mul", None, (self, other), self.chunks * other.chunks)
+        return CtExpr("mul", None, (self, other), sat_mul(self.chunks, other.chunks))
 
     __rmul__ = __mul__
 
@@ -84,13 +116,7 @@ class CtExpr:
 
     def leaves(self) -> list[Ciphertext]:
         """Distinct leaf ciphertexts (by identity), post-order."""
-        out: list[Ciphertext] = []
-        seen: set[int] = set()
-        for node in _postorder(self):
-            if node.op == "leaf" and id(node.ct) not in seen:
-                seen.add(id(node.ct))
-                out.append(node.ct)  # type: ignore[arg-type]
-        return out
+        return collect_leaves([self])
 
     def _any_leaf(self) -> Ciphertext:
         node = self
@@ -104,19 +130,7 @@ class CtExpr:
     def fold(self, leaf_fn) -> int:
         """Evaluate the DAG in F2 with ``leaf_fn(ct) -> int`` at the leaves
         (add = xor, mul = and), memoized on node identity."""
-        memo: dict[int, int] = {}
-        leaf_memo: dict[int, int] = {}
-        for node in _postorder(self):
-            if node.op == "leaf":
-                k = id(node.ct)
-                if k not in leaf_memo:
-                    leaf_memo[k] = int(leaf_fn(node.ct)) & 1
-                memo[id(node)] = leaf_memo[k]
-            elif node.op == "add":
-                memo[id(node)] = memo[id(node.args[0])] ^ memo[id(node.args[1])]
-            else:
-                memo[id(node)] = memo[id(node.args[0])] & memo[id(node.args[1])]
-        return memo[id(self)]
+        return fold_many([self], leaf_fn)[0]
 
     def materialize(self) -> Ciphertext:
         """Fold the DAG into a real Ciphertext (the public, growth-paying
@@ -135,10 +149,62 @@ class CtExpr:
         return f"CtExpr(op={self.op}, chunks={self.chunks}, leaves={len(self.leaves())})"
 
 
-def _postorder(root: CtExpr) -> list[CtExpr]:
-    """Iterative post-order over the DAG, each node once (identity-deduped)."""
-    out: list[CtExpr] = []
+def collect_leaves(exprs: "list[CtExpr]") -> "list[Ciphertext]":
+    """Distinct leaf ciphertexts (by identity) across MANY DAGs, post-order.
+
+    Shares one visited set across roots, so multi-output circuits pay one
+    walk total instead of one per output (per-root `leaves()` on a 128-output
+    published-size netlist re-walks the shared interior 128 times).
+    """
+    out: list[Ciphertext] = []
+    seen: set[int] = set()
     visited: set[int] = set()
+    for root in exprs:
+        for node in _postorder(root, visited):
+            if node.op == "leaf" and id(node.ct) not in seen:
+                seen.add(id(node.ct))
+                out.append(node.ct)  # type: ignore[arg-type]
+    return out
+
+
+def fold_many(exprs: "list[CtExpr]", leaf_fn) -> list[int]:
+    """Evaluate MANY DAGs with ONE shared memo (add = xor, mul = and).
+
+    Multi-output circuits (a netlist's 128 output bits, say) share most of
+    their interior nodes; per-root `fold` would re-walk the shared region
+    once per output — O(outputs × gates) Python work for a published-size
+    circuit.  Here every node across all roots is visited exactly once.
+    Bit-exact to per-root `fold` by construction (same recurrences, same
+    memoization keys).
+    """
+    memo: dict[int, int] = {}
+    leaf_memo: dict[int, int] = {}
+    visited: set[int] = set()
+    out: list[int] = []
+    for root in exprs:
+        for node in _postorder(root, visited):
+            if node.op == "leaf":
+                k = id(node.ct)
+                if k not in leaf_memo:
+                    leaf_memo[k] = int(leaf_fn(node.ct)) & 1
+                memo[id(node)] = leaf_memo[k]
+            elif node.op == "add":
+                memo[id(node)] = memo[id(node.args[0])] ^ memo[id(node.args[1])]
+            else:
+                memo[id(node)] = memo[id(node.args[0])] & memo[id(node.args[1])]
+        out.append(memo[id(root)])
+    return out
+
+
+def _postorder(root: CtExpr, visited: set[int] | None = None) -> list[CtExpr]:
+    """Iterative post-order over the DAG, each node once (identity-deduped).
+
+    A caller-supplied ``visited`` set carries dedup state ACROSS roots
+    (`fold_many`): nodes already emitted for an earlier root are skipped.
+    """
+    out: list[CtExpr] = []
+    if visited is None:
+        visited = set()
     stack: list[tuple[CtExpr, bool]] = [(root, False)]
     while stack:
         node, expanded = stack.pop()

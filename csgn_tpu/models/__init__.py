@@ -6,6 +6,7 @@ adders, comparators) with chunk-growth accounting, the way a model zoo sits
 on top of an NN framework's ops.
 """
 
+from csgn_tpu.models.aes import aes128
 from csgn_tpu.models.circuits import Gates
 from csgn_tpu.models.linear import matvec_f2
 from csgn_tpu.models.lookup import private_lookup
@@ -20,6 +21,7 @@ from csgn_tpu.models.netlist import (
 )
 
 __all__ = [
+    "aes128",
     "Gates",
     "matvec_f2",
     "private_lookup",

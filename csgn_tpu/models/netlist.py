@@ -32,7 +32,10 @@ not part of CSGN's {XOR, AND, 1} normal form and is rejected loudly.
 Chunk growth is tracked per wire (`Netlist.growth`): XOR adds chunk counts,
 AND multiplies, INV adds the NOT-constant's chunks — so callers can budget
 HBM *before* materializing (see pipeline.mul_chain's budget guard for the
-same discipline on chains).
+same discipline on chains).  Counts saturate at `circuit.CHUNKS_SAT` (2^63):
+exact below the cap, and the cap itself already means "far beyond any HBM"
+(the exact count for an AND-depth-40 circuit has ~10^24 bits and is itself
+uncomputable in practice).
 """
 
 from __future__ import annotations
@@ -156,8 +159,12 @@ class Netlist:
         XOR concatenates (t1+t2), AND cross-multiplies (t1*t2), INV XORs a
         ``one_chunks``-chunk constant, EQ costs 1 (const 1) or 2·one
         (const 0 = one+one).  Mirrors reference growth semantics
-        (src/Ciphertext.cpp:107-163).
+        (src/Ciphertext.cpp:107-163).  Values saturate at
+        `circuit.CHUNKS_SAT` (2^63) — exact below the cap; see the module
+        docstring.
         """
+        from csgn_tpu.circuit import sat_add, sat_mul
+
         if isinstance(input_chunks, int):
             input_chunks = [input_chunks] * self.n_inputs
         if len(input_chunks) != self.n_inputs:
@@ -167,11 +174,11 @@ class Netlist:
         chunks: dict[int, int] = {i: int(c) for i, c in enumerate(input_chunks)}
         for g in self.gates:
             if g.op == "XOR":
-                chunks[g.out] = chunks[g.ins[0]] + chunks[g.ins[1]]
+                chunks[g.out] = sat_add(chunks[g.ins[0]], chunks[g.ins[1]])
             elif g.op == "AND":
-                chunks[g.out] = chunks[g.ins[0]] * chunks[g.ins[1]]
+                chunks[g.out] = sat_mul(chunks[g.ins[0]], chunks[g.ins[1]])
             elif g.op in ("INV", "NOT"):
-                chunks[g.out] = chunks[g.ins[0]] + one_chunks
+                chunks[g.out] = sat_add(chunks[g.ins[0]], one_chunks)
             elif g.op == "EQW":
                 chunks[g.out] = chunks[g.ins[0]]
             else:  # EQ

@@ -322,16 +322,10 @@ class SecretKey:
         handful of dispatches.  Bit-exact to per-expr `decrypt_circuit`.
         """
         from csgn_tpu.batch import CiphertextBatch
-        from csgn_tpu.circuit import lift
+        from csgn_tpu.circuit import collect_leaves, fold_many, lift
 
         exprs = [lift(e) for e in exprs]
-        leaves: list[Ciphertext] = []
-        seen: set[int] = set()
-        for e in exprs:
-            for ct in e.leaves():
-                if id(ct) not in seen:
-                    seen.add(id(ct))
-                    leaves.append(ct)
+        leaves = collect_leaves(exprs)
         for ct in leaves:
             if ct.ctx != self.ctx:
                 raise ValueError("ciphertext context mismatch")
@@ -344,7 +338,12 @@ class SecretKey:
             vals = jax.device_get(self.decrypt_batch(batch))
             for c, v in zip(cts, vals):
                 bits[id(c)] = int(v)
-        return [Plaintext(e.fold(lambda ct: bits[id(ct)])) for e in exprs]
+        # One shared-memo walk over the union DAG: multi-output circuits
+        # share interior nodes, so per-expr fold would cost outputs × gates.
+        return [
+            Plaintext(b)
+            for b in fold_many(exprs, lambda ct: bits[id(ct)])
+        ]
 
     def recrypt(self, ciphertext: Ciphertext, rng: jax.Array) -> Ciphertext:
         """Key-side re-encryption: decrypt and produce a fresh 1-chunk

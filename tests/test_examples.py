@@ -60,6 +60,14 @@ def test_netlist_service_example():
     assert all(q in (0, 1) for q in out["qualified"])
 
 
+def test_encrypted_aes_example():
+    import encrypted_aes
+
+    out = encrypted_aes.main(n=95, d=4)
+    assert out["ciphertext"] == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert out["ands"] == 51_200
+
+
 def test_bristol_adder_example():
     import bristol_adder
 
