@@ -9,6 +9,7 @@ on top of an NN framework's ops.
 from csgn_tpu.models.aes import aes128
 from csgn_tpu.models.circuits import Gates
 from csgn_tpu.models.linear import matvec_f2
+from csgn_tpu.models.sha256 import sha256_compress
 from csgn_tpu.models.lookup import private_lookup
 from csgn_tpu.models.netlist import (
     Netlist,
@@ -22,6 +23,7 @@ from csgn_tpu.models.netlist import (
 
 __all__ = [
     "aes128",
+    "sha256_compress",
     "Gates",
     "matvec_f2",
     "private_lookup",
