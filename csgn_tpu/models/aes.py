@@ -35,42 +35,14 @@ plaintext hex string; state column-major per §3.4).
 
 from __future__ import annotations
 
-from csgn_tpu.models.netlist import Gate, Netlist
+from csgn_tpu.models.netlist import Netlist, _Builder
 
 __all__ = ["aes128", "AES_RCON"]
 
 AES_RCON = (0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36)
 
 _Byte = list  # 8 wire ids, LSB-first
-
-
-class _W:
-    """Wire allocator emitting gates with sequential numbering."""
-
-    def __init__(self, n_inputs: int):
-        self.next = n_inputs
-        self.gates: list[Gate] = []
-
-    def emit(self, op: str, *ins: int) -> int:
-        w = self.next
-        self.next += 1
-        self.gates.append(Gate(op=op, ins=tuple(ins), out=w))
-        return w
-
-    def xor(self, a: int, b: int) -> int:
-        return self.emit("XOR", a, b)
-
-    def and_(self, a: int, b: int) -> int:
-        return self.emit("AND", a, b)
-
-    def inv(self, a: int) -> int:
-        return self.emit("INV", a)
-
-    def xor_tree(self, ws: list[int]) -> int:
-        acc = ws[0]
-        for w in ws[1:]:
-            acc = self.xor(acc, w)
-        return acc
+_W = _Builder  # the shared wire allocator (netlist.py) — helpers below take one
 
 
 def _xor_byte(w: _W, x: _Byte, y: _Byte) -> _Byte:
@@ -156,7 +128,7 @@ def aes128() -> Netlist:
     ~2 s, one `eval_plain` ~0.1 s.  See the module docstring for bit
     conventions and verification anchors.
     """
-    w = _W(256)
+    w = _W([128, 128])
     key_bytes: list[_Byte] = [[8 * i + j for j in range(8)] for i in range(16)]
     pt_bytes: list[_Byte] = [
         [128 + 8 * i + j for j in range(8)] for i in range(16)
@@ -191,11 +163,7 @@ def aes128() -> Netlist:
         ]
 
     # Route the 128 output bits onto the final wire block (EQW copies).
-    out_wires = [b[j] for b in state for j in range(8)]
-    first_out = w.next
-    for i, src in enumerate(out_wires):
-        w.gates.append(Gate(op="EQW", ins=(src,), out=first_out + i))
-    return Netlist(first_out + 128, (128, 128), (128,), tuple(w.gates))
+    return w.finish([b[j] for b in state for j in range(8)], [128])
 
 
 def _main() -> None:

@@ -45,7 +45,7 @@ from typing import Sequence
 
 from csgn_tpu.batch import CiphertextBatch
 from csgn_tpu.ciphertext import Ciphertext
-from csgn_tpu.circuit import CtExpr, lift
+from csgn_tpu.circuit import CtExpr, lift, sat_add, sat_mul
 from csgn_tpu.models.circuits import Gates
 
 __all__ = [
@@ -58,7 +58,26 @@ __all__ = [
     "adder",
     "equality",
     "comparator_gt",
+    "bits_from_bytes",
+    "bytes_from_bits",
 ]
+
+
+def bits_from_bytes(bs: bytes) -> list[int]:
+    """Bytes -> the netlist value-bit convention used by the byte-oriented
+    circuits here (`models.aes`, `models.sha256`): wire ``8*i + j`` of a
+    value is bit ``j`` (LSB-first) of byte ``i``."""
+    return [(b >> j) & 1 for b in bs for j in range(8)]
+
+
+def bytes_from_bits(bl: Sequence[int]) -> bytes:
+    """Inverse of `bits_from_bytes` (accepts ints or Plaintext-like)."""
+    if len(bl) % 8:
+        raise ValueError(f"bit count {len(bl)} is not a whole number of bytes")
+    return bytes(
+        sum((int(bl[8 * i + j]) & 1) << j for j in range(8))
+        for i in range(len(bl) // 8)
+    )
 
 _BINARY = ("XOR", "AND")
 _UNARY = ("INV", "NOT", "EQW")
@@ -163,8 +182,6 @@ class Netlist:
         `circuit.CHUNKS_SAT` (2^63) — exact below the cap; see the module
         docstring.
         """
-        from csgn_tpu.circuit import sat_add, sat_mul
-
         if isinstance(input_chunks, int):
             input_chunks = [input_chunks] * self.n_inputs
         if len(input_chunks) != self.n_inputs:
@@ -442,6 +459,13 @@ class _Builder:
 
     def inv(self, a: int) -> int:
         return self.emit("INV", a)
+
+    def xor_tree(self, ws: Sequence[int]) -> int:
+        """Left fold of XOR over ``ws`` (at least one wire)."""
+        acc = ws[0]
+        for w in ws[1:]:
+            acc = self.xor(acc, w)
+        return acc
 
     def finish(self, outputs: Sequence[int], output_sizes: Sequence[int]) -> Netlist:
         if len(outputs) != sum(output_sizes):

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import struct
 
-from csgn_tpu.models.netlist import Gate, Netlist
+from csgn_tpu.models.netlist import Netlist, _Builder
 
 __all__ = [
     "sha256_compress",
@@ -66,45 +66,27 @@ SHA256_K = (
 _Word = list  # 32 wire ids, LSB-first (bit i = coefficient of 2^i)
 
 
-class _W:
-    """Wire allocator emitting gates with sequential numbering."""
+class _W(_Builder):
+    """The shared wire allocator (netlist.py) + cached EQ constant wires
+    (the round constants K_t enter the adders through them)."""
 
-    def __init__(self, n_inputs: int):
-        self.next = n_inputs
-        self.gates: list[Gate] = []
+    def __init__(self, input_sizes):
+        super().__init__(input_sizes)
         self._zero: int | None = None
-
-    def emit(self, op: str, *ins: int) -> int:
-        w = self.next
-        self.next += 1
-        self.gates.append(Gate(op=op, ins=tuple(ins), out=w))
-        return w
-
-    def xor(self, a: int, b: int) -> int:
-        return self.emit("XOR", a, b)
-
-    def and_(self, a: int, b: int) -> int:
-        return self.emit("AND", a, b)
-
-    def inv(self, a: int) -> int:
-        return self.emit("INV", a)
+        self._one: int | None = None
 
     def zero(self) -> int:
         if self._zero is None:
             self._zero = self.emit("EQ", 0)
         return self._zero
 
+    def one(self) -> int:
+        if self._one is None:
+            self._one = self.emit("EQ", 1)
+        return self._one
+
     def const_word(self, c: int) -> _Word:
-        one = None
-        out = []
-        for i in range(32):
-            if (c >> i) & 1:
-                if one is None:
-                    one = self.emit("EQ", 1)
-                out.append(one)
-            else:
-                out.append(self.zero())
-        return out
+        return [self.one() if (c >> i) & 1 else self.zero() for i in range(32)]
 
 
 def _add32(w: _W, a: _Word, b: _Word) -> _Word:
@@ -155,11 +137,11 @@ def _maj(w: _W, a: _Word, b: _Word, c: _Word) -> _Word:
 def sha256_compress() -> Netlist:
     """Build the compression netlist: [block(512), state_in(256)] -> [256].
 
-    ~128k gates (~46k ANDs); includes the Davies–Meyer feed-forward, so
+    ~125k gates (46,840 ANDs); includes the Davies–Meyer feed-forward, so
     chaining calls (or one call on the IV) IS SHA-256.  See the module
     docstring for bit conventions.
     """
-    w = _W(768)
+    w = _W([512, 256])
 
     def bytes_to_words(first_bit: int, n_words: int) -> list[_Word]:
         """Big-endian 4-byte groups -> LSB-first 32-bit words (rewiring)."""
@@ -221,10 +203,7 @@ def sha256_compress() -> Netlist:
         for byte_in_word in range(4):
             src = 3 - byte_in_word      # big-endian byte order
             out_wires.extend(word[8 * src + j] for j in range(8))
-    first_out = w.next
-    for i, src in enumerate(out_wires):
-        w.gates.append(Gate(op="EQW", ins=(src,), out=first_out + i))
-    return Netlist(first_out + 256, (512, 256), (256,), tuple(w.gates))
+    return w.finish(out_wires, [256])
 
 
 def sha256_pad(msg: bytes) -> list[bytes]:

@@ -217,11 +217,14 @@ class BatchExecutor:
         if isinstance(expr, Ciphertext):
             self._check_ct(expr, "decrypt_circuit")
         elif isinstance(expr, CtExpr):
-            for leaf in expr.leaves():
-                if leaf.ctx != sk.ctx:
-                    raise ValueError(
-                        "decrypt_circuit: leaf context differs from the key's"
-                    )
+            # O(depth) spot check only: walking every leaf here would cost
+            # O(gates) per submitted output (128 AES outputs share a ~229k-node
+            # interior).  Full leaf validation happens once per flush inside
+            # SecretKey.decrypt_circuits.
+            if expr._any_leaf().ctx != sk.ctx:
+                raise ValueError(
+                    "decrypt_circuit: leaf context differs from the key's"
+                )
         else:
             raise TypeError(
                 f"decrypt_circuit expects CtExpr or Ciphertext, got {type(expr).__name__}"

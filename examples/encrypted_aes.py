@@ -20,22 +20,16 @@ import argparse
 import time
 
 
-def _bits(bs: bytes) -> list[int]:
-    return [(b >> j) & 1 for b in bs for j in range(8)]
-
-
-def _unbits(bl) -> bytes:
-    return bytes(
-        sum(int(bl[8 * i + j]) << j for j in range(8)) for i in range(len(bl) // 8)
-    )
-
-
 def main(n: int = 95, d: int = 4, seed: int = 0xAE5) -> dict:
     import jax
 
     from csgn_tpu import Context, SecretKey
     from csgn_tpu.models.aes import aes128
-    from csgn_tpu.models.netlist import eval_expr
+    from csgn_tpu.models.netlist import (
+        bits_from_bytes as _bits,
+        bytes_from_bits as _unbits,
+        eval_expr,
+    )
 
     aes_key = bytes(range(16))
     block = bytes.fromhex("00112233445566778899aabbccddeeff")

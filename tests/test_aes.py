@@ -17,7 +17,13 @@ import pytest
 from csgn_tpu import SecretKey
 from csgn_tpu.circuit import CHUNKS_SAT, sat_add, sat_mul
 from csgn_tpu.models.aes import AES_RCON, aes128
-from csgn_tpu.models.netlist import Netlist, eval_expr, eval_plain
+from csgn_tpu.models.netlist import (
+    Netlist,
+    bits_from_bytes as _bits,
+    bytes_from_bits as _unbits,
+    eval_expr,
+    eval_plain,
+)
 
 # FIPS-197 Appendix C.1 (key/plaintext/ciphertext) and Appendix B.
 FIPS_C1 = (
@@ -30,16 +36,6 @@ FIPS_B = (
     bytes.fromhex("3243f6a8885a308d313198a2e0370734"),
     bytes.fromhex("3925841d02dc09fbdc118597196a0b32"),
 )
-
-
-def _bits(bs: bytes) -> list[int]:
-    return [(b >> j) & 1 for b in bs for j in range(8)]
-
-
-def _unbits(bl) -> bytes:
-    return bytes(
-        sum(int(bl[8 * i + j]) << j for j in range(8)) for i in range(len(bl) // 8)
-    )
 
 
 # -- independent oracle: table-based AES (log-free square-and-multiply S-box) ----

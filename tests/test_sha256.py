@@ -21,19 +21,15 @@ from csgn_tpu.models.sha256 import (
     sha256_pad,
     sha256_pad_one_block,
 )
-from csgn_tpu.models.netlist import Netlist, eval_expr, eval_plain
+from csgn_tpu.models.netlist import (
+    Netlist,
+    bits_from_bytes as _bits,
+    bytes_from_bits as _unbits,
+    eval_expr,
+    eval_plain,
+)
 
 _IV_BYTES = b"".join(struct.pack(">I", h) for h in SHA256_IV)
-
-
-def _bits(bs: bytes) -> list[int]:
-    return [(b >> j) & 1 for b in bs for j in range(8)]
-
-
-def _unbits(bl) -> bytes:
-    return bytes(
-        sum(int(bl[8 * i + j]) << j for j in range(8)) for i in range(len(bl) // 8)
-    )
 
 
 @pytest.fixture(scope="module")
