@@ -68,6 +68,17 @@ def test_encrypted_aes_example():
     assert out["ands"] == 51_200
 
 
+def test_encrypted_hmac_example():
+    import hmac
+
+    import encrypted_hmac
+
+    out = encrypted_hmac.main(n=95, d=4)
+    expect = hmac.new(bytes(range(32)), b"attested by csgn_tpu", "sha256")
+    assert out["tag"] == expect.hexdigest()
+    assert out["compressions"] == 4
+
+
 def test_bristol_adder_example():
     import bristol_adder
 
