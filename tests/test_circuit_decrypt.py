@@ -40,6 +40,27 @@ def test_shared_subexpression_decrypts_each_leaf_once(setup, monkeypatch):
     assert bit == int(sk.decrypt(e.materialize()))
 
 
+def test_fold_many_overlapping_roots(setup):
+    """The shared visited/memo state across roots must survive duplicate
+    roots, a root that is a subexpression of an earlier root, and reversed
+    processing order — every combination equals the per-root fold."""
+    from csgn_tpu.circuit import collect_leaves, fold_many
+
+    sk, enc = setup
+    a, b, c = enc(1, 1), enc(1, 2), enc(0, 3)
+    inner = lift(a) * b            # subexpression shared by both roots
+    outer = (inner + c) * inner
+    for roots in ([outer, inner], [inner, outer], [outer, outer, inner, outer]):
+        got = fold_many(roots, lambda ct: int(sk.decrypt(ct)))
+        assert got == [int(sk.decrypt_circuit(e)) for e in roots], roots
+        leaves = collect_leaves(roots)
+        assert len(leaves) == len({id(ct) for ct in leaves})
+        assert {id(ct) for ct in leaves} == {id(a), id(b)} | (
+            {id(c)} if outer in roots else set()
+        )
+    assert int(sk.decrypt_circuit(outer)) == ((1 & 1) ^ 0) & (1 & 1)
+
+
 def test_deep_chain_beyond_hbm(setup):
     """32-deep multiply chain of 2-chunk inputs: materialized = 2^32 chunks
     (far beyond HBM); the circuit decrypts from 64 fresh leaf chunks."""
