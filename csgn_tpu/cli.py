@@ -6,6 +6,7 @@ Commands:
   selftest  — quick end-to-end correctness sweep (host backend)
   timings   — microbenchmark table mirroring reference tests/timings.cpp
   info      — context / device / layout report
+  flagship  — homomorphic AES-128 (FIPS-197) + SHA-256 (hashlib), asserted
 """
 
 from __future__ import annotations
@@ -158,6 +159,56 @@ def cmd_timings(cfg: RunConfig) -> int:
     return 0
 
 
+def cmd_flagship(cfg: RunConfig) -> int:
+    """Homomorphic AES-128 (FIPS-197 C.1) + SHA-256 (vs hashlib) end-to-end:
+    encrypt every input bit, evaluate the full published-suite circuit as a
+    growth-free expr DAG, decrypt key-side, assert the known answers."""
+    import hashlib
+    import struct
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from csgn_tpu import Ciphertext, SecretKey
+    from csgn_tpu.models.aes import aes128
+    from csgn_tpu.models.netlist import bits_from_bytes, bytes_from_bits, eval_expr
+    from csgn_tpu.models.sha256 import (
+        SHA256_IV,
+        sha256_compress,
+        sha256_pad_one_block,
+    )
+
+    ctx = cfg.context()
+    keys = jax.random.split(jax.random.key(cfg.seed), 4)
+    sk = SecretKey.generate(ctx, keys[0])
+    one = sk.encrypt(1, keys[1])
+
+    def enc_bits(bits, key):
+        words = sk.encrypt_batch(jnp.asarray(np.array(bits, dtype=np.uint8)), key)
+        return [Ciphertext(words[:, i : i + 1], ctx) for i in range(len(bits))]
+
+    aes_key = bytes(range(16))
+    block = bytes.fromhex("00112233445566778899aabbccddeeff")
+    t0 = time.time()
+    cts = enc_bits(bits_from_bytes(aes_key + block), keys[2])
+    (outs,) = eval_expr(aes128(), [cts[:128], cts[128:]], one)
+    got = bytes_from_bits([int(v) for v in sk.decrypt_circuits(outs)])
+    print(f"AES-128(FIPS C.1) homomorphically = {got.hex()}  [{time.time()-t0:.1f}s]")
+    assert got.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+
+    msg = b"csgn_tpu flagship"
+    iv = b"".join(struct.pack(">I", h) for h in SHA256_IV)
+    t0 = time.time()
+    cts = enc_bits(bits_from_bytes(sha256_pad_one_block(msg) + iv), keys[3])
+    (outs,) = eval_expr(sha256_compress(), [cts[:512], cts[512:]], one)
+    got = bytes_from_bits([int(v) for v in sk.decrypt_circuits(outs)])
+    print(f"SHA-256({msg!r}) homomorphically = {got.hex()}  [{time.time()-t0:.1f}s]")
+    assert got == hashlib.sha256(msg).digest()
+    print("flagship OK")
+    return 0
+
+
 def cmd_info(cfg: RunConfig) -> int:
     import jax
 
@@ -171,7 +222,9 @@ def cmd_info(cfg: RunConfig) -> int:
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="csgn_tpu", description=__doc__)
-    p.add_argument("command", choices=["demo", "selftest", "timings", "info"])
+    p.add_argument(
+        "command", choices=["demo", "selftest", "timings", "info", "flagship"]
+    )
     p.add_argument("--n", type=int, default=1247)
     p.add_argument("--d", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
@@ -182,9 +235,13 @@ def main(argv=None) -> int:
     )
     args = p.parse_args(argv)
     cfg = _load_config(args)
-    rc = {"demo": cmd_demo, "selftest": cmd_selftest, "timings": cmd_timings, "info": cmd_info}[
-        args.command
-    ](cfg)
+    rc = {
+        "demo": cmd_demo,
+        "selftest": cmd_selftest,
+        "timings": cmd_timings,
+        "info": cmd_info,
+        "flagship": cmd_flagship,
+    }[args.command](cfg)
     if args.metrics:
         from csgn_tpu.utils.metrics import op_metrics
 

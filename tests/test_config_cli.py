@@ -32,6 +32,15 @@ def test_cli_demo_and_selftest(capsys):
     assert cli.main(["info"]) == 0
 
 
+def test_cli_flagship(capsys):
+    from csgn_tpu import cli
+
+    assert cli.main(["flagship", "--n", "95", "--d", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "69c4e0d86a7b0430d8cdb78070b4c55a" in out  # FIPS-197 C.1
+    assert "flagship OK" in out
+
+
 def test_validate_ciphertext(ctx, rng):
     keys = jax.random.split(rng, 2)
     sk = SecretKey.generate(ctx, keys[0])
