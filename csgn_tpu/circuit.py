@@ -19,6 +19,12 @@ is iterative (explicit stack) and memoized on node identity, so shared
 subexpressions — true DAGs, not just trees — cost one visit, and depth is not
 limited by Python recursion.
 
+Leaves may also be `CiphertextBatch`es: ONE DAG then serves B instances —
+leaf bits become uint8[B] vectors and the fold's xor/and broadcast across
+the fleet (scalar leaves, e.g. the public NOT-constant, mix in by numpy
+broadcasting).  A B-fleet of a deep circuit costs one batched dispatch per
+distinct leaf plus ONE vectorized DAG walk, instead of B scalar walks.
+
 Non-key-holders cannot fold chunks (a chunk's decrypt bit is keyed), which is
 why this lives next to `SecretKey.decrypt_product`/`recrypt` as the key-side
 escape hatch for the scheme's bounded (superlinear-growth) multiplication.
@@ -29,9 +35,12 @@ from __future__ import annotations
 import dataclasses
 import typing
 
+import numpy as np
+
 from csgn_tpu.ciphertext import Ciphertext
 
 if typing.TYPE_CHECKING:
+    from csgn_tpu.batch import CiphertextBatch
     from csgn_tpu.permutation import Permutation
 
 __all__ = [
@@ -69,11 +78,14 @@ def sat_mul(a: int, b: int) -> int:
     return a * b
 
 
-def lift(x: "Ciphertext | CtExpr") -> "CtExpr":
-    """Wrap a Ciphertext as a leaf expression (no-op on expressions)."""
+def lift(x: "Ciphertext | CiphertextBatch | CtExpr") -> "CtExpr":
+    """Wrap a Ciphertext (or a `CiphertextBatch` — one leaf, B instances)
+    as a leaf expression (no-op on expressions)."""
+    from csgn_tpu.batch import CiphertextBatch
+
     if isinstance(x, CtExpr):
         return x
-    if isinstance(x, Ciphertext):
+    if isinstance(x, (Ciphertext, CiphertextBatch)):
         return CtExpr(op="leaf", ct=x, args=(), chunks=x.chunks)
     raise TypeError(f"cannot lift {type(x).__name__} into a circuit")
 
@@ -82,10 +94,11 @@ def lift(x: "Ciphertext | CtExpr") -> "CtExpr":
 class CtExpr:
     """A +/* DAG over ciphertext leaves; `chunks` is the materialized size."""
 
-    op: str                       # "leaf" | "add" | "mul"
-    ct: Ciphertext | None         # leaf payload
-    args: tuple["CtExpr", ...]    # operands for add/mul
-    chunks: int                   # materialized chunk count, capped at CHUNKS_SAT
+    op: str                            # "leaf" | "add" | "mul"
+    ct: "Ciphertext | CiphertextBatch | None"  # leaf payload
+    args: tuple["CtExpr", ...]         # operands for add/mul
+    chunks: int                        # materialized chunk count (per element
+                                       # for batch leaves), capped at CHUNKS_SAT
 
     # -- construction ---------------------------------------------------------
 
@@ -176,6 +189,11 @@ def fold_many(exprs: "list[CtExpr]", leaf_fn) -> list[int]:
     circuit.  Here every node across all roots is visited exactly once.
     Bit-exact to per-root `fold` by construction (same recurrences, same
     memoization keys).
+
+    ``leaf_fn`` may return an int (scalar leaf) or an ndarray of bits
+    (`CiphertextBatch` leaf, one bit per instance); xor/and broadcast, so a
+    DAG over B-fleets folds once for the whole fleet and each result is a
+    uint8[B] vector.
     """
     memo: dict[int, int] = {}
     leaf_memo: dict[int, int] = {}
@@ -186,7 +204,11 @@ def fold_many(exprs: "list[CtExpr]", leaf_fn) -> list[int]:
             if node.op == "leaf":
                 k = id(node.ct)
                 if k not in leaf_memo:
-                    leaf_memo[k] = int(leaf_fn(node.ct)) & 1
+                    v = leaf_fn(node.ct)
+                    if isinstance(v, np.ndarray):
+                        leaf_memo[k] = v.astype(np.uint8) & 1
+                    else:
+                        leaf_memo[k] = int(v) & 1
                 memo[id(node)] = leaf_memo[k]
             elif node.op == "add":
                 memo[id(node)] = memo[id(node.args[0])] ^ memo[id(node.args[1])]

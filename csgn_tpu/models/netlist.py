@@ -414,6 +414,12 @@ def eval_expr(
     leaves (shared subcircuits stay shared), decryptable in O(sum of leaf
     chunks) regardless of depth — the key-side path for circuits whose
     materialized growth (`netlist.growth()`) exceeds HBM.
+
+    Wires may also be `CiphertextBatch`es (all with the same B): the ONE
+    resulting DAG serves the whole fleet — `decrypt_circuit(s)` folds it
+    once with uint8[B] leaf vectors instead of B scalar walks, which is the
+    only fleet path for deep circuits (`eval_homomorphic_batch` would
+    materialize the growth).
     """
     one_e = lift(one)
     wires: dict[int, CtExpr] = {

@@ -295,7 +295,16 @@ class SecretKey:
                 break
         return Plaintext(acc)
 
-    def decrypt_circuit(self, expr) -> Plaintext:
+    def _leaf_bits(self, ct):
+        """Decrypt one expr leaf: int for a Ciphertext, uint8[B] for a
+        `CiphertextBatch` (one batched dispatch)."""
+        from csgn_tpu.batch import CiphertextBatch
+
+        if isinstance(ct, CiphertextBatch):
+            return np.asarray(jax.device_get(self.decrypt_batch(ct))).astype(np.uint8)
+        return int(self.decrypt(ct))
+
+    def decrypt_circuit(self, expr) -> "Plaintext | np.ndarray":
         """Decrypt a +/* DAG of ciphertexts WITHOUT materializing it.
 
         Dec is a ring homomorphism (reference src/SecretKey.cpp:126-146):
@@ -304,12 +313,17 @@ class SecretKey:
         bits fold through the DAG host-side.  Accepts a `circuit.CtExpr` or a
         plain Ciphertext; generalizes `decrypt_product` to arbitrary DAGs
         (e.g. 32-deep chains whose materialized form exceeds HBM).
+
+        DAGs over `CiphertextBatch` leaves fold the whole B-fleet at once
+        (leaf bits broadcast through xor/and) and return uint8[B] instead of
+        a Plaintext.
         """
         from csgn_tpu.circuit import lift
 
-        return Plaintext(lift(expr).fold(lambda ct: int(self.decrypt(ct))))
+        bit = lift(expr).fold(self._leaf_bits)
+        return bit if isinstance(bit, np.ndarray) else Plaintext(bit)
 
-    def decrypt_circuits(self, exprs) -> list[Plaintext]:
+    def decrypt_circuits(self, exprs) -> "list[Plaintext | np.ndarray]":
         """Decrypt MANY +/* DAGs sharing leaves with batched leaf decrypts.
 
         `decrypt_circuit` issues one device op per distinct leaf per call; a
@@ -320,6 +334,10 @@ class SecretKey:
         dispatch (`decrypt_batch`), and folds every DAG host-side from the
         shared bit table — a netlist's whole output vector decrypts in a
         handful of dispatches.  Bit-exact to per-expr `decrypt_circuit`.
+
+        `CiphertextBatch` leaves (fleet DAGs) are likewise grouped by shape
+        and concatenated into one dispatch; their outputs come back as
+        uint8[B] arrays (one bit per instance) instead of Plaintexts.
         """
         from csgn_tpu.batch import CiphertextBatch
         from csgn_tpu.circuit import collect_leaves, fold_many, lift
@@ -329,19 +347,32 @@ class SecretKey:
         for ct in leaves:
             if ct.ctx != self.ctx:
                 raise ValueError("ciphertext context mismatch")
+        scalars = [ct for ct in leaves if isinstance(ct, Ciphertext)]
+        fleets = [ct for ct in leaves if isinstance(ct, CiphertextBatch)]
+        bits: dict[int, int | np.ndarray] = {}
         groups: dict[tuple, list[Ciphertext]] = {}
-        for ct in leaves:
+        for ct in scalars:
             groups.setdefault(tuple(ct.wt.shape), []).append(ct)
-        bits: dict[int, int] = {}
         for cts in groups.values():
             batch = CiphertextBatch(jnp.stack([c.wt for c in cts]), self.ctx)
             vals = jax.device_get(self.decrypt_batch(batch))
             for c, v in zip(cts, vals):
                 bits[id(c)] = int(v)
+        fgroups: dict[tuple, list[CiphertextBatch]] = {}
+        for cb in fleets:
+            fgroups.setdefault(tuple(cb.wt.shape), []).append(cb)
+        for cbs in fgroups.values():
+            stacked = CiphertextBatch(
+                jnp.concatenate([cb.wt for cb in cbs], axis=0), self.ctx
+            )
+            vals = np.asarray(jax.device_get(self.decrypt_batch(stacked)))
+            b = cbs[0].batch
+            for i, cb in enumerate(cbs):
+                bits[id(cb)] = vals[i * b : (i + 1) * b].astype(np.uint8)
         # One shared-memo walk over the union DAG: multi-output circuits
         # share interior nodes, so per-expr fold would cost outputs × gates.
         return [
-            Plaintext(b)
+            b if isinstance(b, np.ndarray) else Plaintext(b)
             for b in fold_many(exprs, lambda ct: bits[id(ct)])
         ]
 

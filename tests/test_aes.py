@@ -169,6 +169,41 @@ def test_homomorphic_expr_end_to_end(nl, small_ctx):
     assert got == ct
 
 
+def test_homomorphic_fleet_expr(nl, small_ctx):
+    """A B=3 fleet (three different AES keys, one block) through ONE expr
+    DAG over CiphertextBatch wires: every instance's 128-bit output equals
+    the table oracle."""
+    import numpy as np
+
+    from csgn_tpu.batch import CiphertextBatch
+
+    B = 3
+    aes_keys = [bytes([17 * b + 1] * 16) for b in range(B)]
+    block = FIPS_C1[1]
+    keys = jax.random.split(jax.random.key(0xF1EE7), 4)
+    sk = SecretKey.generate(small_ctx, keys[0])
+    one = sk.encrypt(1, keys[1])
+
+    def wire_batch(bit_lists, key, i):
+        return CiphertextBatch.stack(
+            [
+                sk.encrypt(bit_lists[b][i], jax.random.fold_in(key, B * i + b))
+                for b in range(B)
+            ]
+        )
+
+    kb = [_bits(k) for k in aes_keys]
+    pb = [_bits(block)] * B
+    key_w = [wire_batch(kb, keys[2], i) for i in range(128)]
+    pt_w = [wire_batch(pb, keys[3], i) for i in range(128)]
+    (outs,) = eval_expr(nl, [key_w, pt_w], one)
+    res = sk.decrypt_circuits(outs)
+    assert all(isinstance(r, np.ndarray) and r.shape == (B,) for r in res)
+    for b in range(B):
+        got = _unbits([int(r[b]) for r in res])
+        assert got == _aes_oracle(aes_keys[b], block), b
+
+
 # -- saturating accounting unit tests ---------------------------------------------
 
 

@@ -61,6 +61,35 @@ def test_fold_many_overlapping_roots(setup):
     assert int(sk.decrypt_circuit(outer)) == ((1 & 1) ^ 0) & (1 & 1)
 
 
+def test_batch_leaf_dags(setup, small_ctx, rng):
+    """CiphertextBatch leaves: one DAG folds the whole fleet; mixed
+    batch × scalar leaves broadcast; two same-shape fleets share one
+    grouped decrypt dispatch and match elementwise scalar folds."""
+    import numpy as np
+
+    from csgn_tpu.batch import CiphertextBatch
+
+    sk, enc = setup
+    bits_a, bits_b = [1, 0, 1, 1], [1, 1, 0, 1]
+    ca = [enc(b, 10 + i) for i, b in enumerate(bits_a)]
+    cb = [enc(b, 20 + i) for i, b in enumerate(bits_b)]
+    A, B_ = CiphertextBatch.stack(ca), CiphertextBatch.stack(cb)
+    one = enc(1, 30)
+    e = (lift(A) + B_) * A + (lift(A) * one)      # scalar leaf mixes in
+    got = sk.decrypt_circuit(e)
+    assert isinstance(got, np.ndarray)
+    expect = [((a ^ b) & a) ^ (a & 1) for a, b in zip(bits_a, bits_b)]
+    assert got.tolist() == expect
+    # element-wise scalar DAGs agree
+    for i in range(4):
+        es = (lift(ca[i]) + cb[i]) * ca[i] + (lift(ca[i]) * one)
+        assert int(sk.decrypt_circuit(es)) == expect[i]
+    # decrypt_circuits over mixed scalar/batch roots
+    outs = sk.decrypt_circuits([e, lift(one), lift(A) + B_])
+    assert np.array_equal(outs[0], got) and int(outs[1]) == 1
+    assert outs[2].tolist() == [a ^ b for a, b in zip(bits_a, bits_b)]
+
+
 def test_deep_chain_beyond_hbm(setup):
     """32-deep multiply chain of 2-chunk inputs: materialized = 2^32 chunks
     (far beyond HBM); the circuit decrypts from 64 fresh leaf chunks."""

@@ -232,6 +232,44 @@ def test_batched_matches_scalar_and_plain(hom):
         ), f"batched element {i} != scalar path"
 
 
+def test_fleet_expr_path_matches_scalar(hom):
+    """CiphertextBatch wires through eval_expr: ONE DAG serves the fleet —
+    decrypt_circuit returns uint8[B] equal to the per-instance scalar expr
+    path (and to the plain oracle), with the scalar `one` constant mixing
+    in by broadcast."""
+    import numpy as np
+
+    from csgn_tpu.batch import CiphertextBatch
+
+    sk, gates, key = hom
+    width = 3
+    nl = comparator_gt(width)
+    cases = [(5, 2), (2, 5), (7, 7), (0, 1), (6, 0)]
+    enc_a = [
+        _encrypt_bits(sk, x, width, jax.random.fold_in(key, 3000 + i))
+        for i, (x, _) in enumerate(cases)
+    ]
+    enc_b = [
+        _encrypt_bits(sk, y, width, jax.random.fold_in(key, 4000 + i))
+        for i, (_, y) in enumerate(cases)
+    ]
+    a_w = [CiphertextBatch.stack([enc_a[i][j] for i in range(len(cases))])
+           for j in range(width)]
+    b_w = [CiphertextBatch.stack([enc_b[i][j] for i in range(len(cases))])
+           for j in range(width)]
+    (out,) = eval_expr(nl, [a_w, b_w], gates.one)
+    got = sk.decrypt_circuit(out[0])
+    assert isinstance(got, np.ndarray) and got.dtype == np.uint8
+    assert got.tolist() == [int(x > y) for x, y in cases]
+    # decrypt_circuits agrees and returns the same array type
+    (got2,) = sk.decrypt_circuits([out[0]])
+    assert np.array_equal(got2, got)
+    # per-instance scalar expr path agrees bit for bit
+    for i, (x, y) in enumerate(cases):
+        (o_s,) = eval_expr(nl, [enc_a[i], enc_b[i]], gates.one)
+        assert int(sk.decrypt_circuit(o_s[0])) == int(got[i]), (x, y)
+
+
 def test_batched_input_validation(hom):
     from csgn_tpu.batch import CiphertextBatch
     from csgn_tpu.models.netlist import eval_homomorphic_batch
