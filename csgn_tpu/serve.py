@@ -38,6 +38,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from csgn_tpu.batch import CiphertextBatch
 from csgn_tpu.ciphertext import Ciphertext
@@ -122,6 +123,7 @@ class BatchExecutor:
         self._enc_flushes = 0  # dedicated counter: encrypt randomness depends
         # only on how many encrypt groups ran, never on unrelated op groups.
         self._net_flushes = 0  # same discipline for netlist NOT-constants.
+        self._netexpr_flushes = 0  # ...and for expr-route NOT-constants.
         self.stats = {"requests": 0, "flushes": 0, "group_dispatches": 0}
 
     # -- submission -------------------------------------------------------------
@@ -201,6 +203,33 @@ class BatchExecutor:
             self._check_ct(ct, "netlist")
         shapes = tuple(ct.chunks for ct in flat)
         return self._enqueue(("net", netlist, self._key.ctx, shapes), (netlist, inputs))
+
+    def submit_netlist_expr(self, netlist, inputs) -> ServeFuture:
+        """Evaluate a netlist growth-free and decrypt its outputs; resolves
+        to the nested BIT list (``list[list[int]]``, mirroring
+        ``output_sizes``).
+
+        The fleet route for DEEP circuits (AES-128 / SHA-256 class, where
+        `submit_netlist` would materialize superlinear chunk growth): B
+        queued same-circuit requests stack each input wire into a
+        `CiphertextBatch`, ONE `CtExpr` DAG serves the whole group, the
+        distinct leaves decrypt in a handful of batched dispatches, and one
+        vectorized fold reads out every request's bits.  Key-side by
+        necessity — the results are decrypted bits, not ciphertexts.
+        """
+        from csgn_tpu.models.netlist import Netlist, _flatten_inputs
+
+        self._need_key("netlist_expr")
+        if not isinstance(netlist, Netlist):
+            raise TypeError(f"expected Netlist, got {type(netlist).__name__}")
+        inputs = tuple(tuple(v) for v in inputs)
+        flat = _flatten_inputs(netlist, inputs)
+        for ct in flat:
+            self._check_ct(ct, "netlist_expr")
+        shapes = tuple(ct.chunks for ct in flat)
+        return self._enqueue(
+            ("netexpr", netlist, self._key.ctx, shapes), (netlist, inputs)
+        )
 
     def submit_decrypt_circuit(self, expr) -> ServeFuture:
         """Decrypt a +/* DAG (`CtExpr` or Ciphertext); resolves to an int bit.
@@ -335,9 +364,48 @@ class BatchExecutor:
             for i in range(len(payloads))
         ]
 
-    def _run_deccirc(self, payloads: list[tuple]) -> list[int]:
+    def _run_netexpr(self, payloads: list[tuple]) -> list[list[list[int]]]:
+        from csgn_tpu.models.netlist import eval_expr
+
+        sk = self._need_key("netlist_expr")
+        netlist = payloads[0][0]  # group key pins one netlist per group
+        one_rng = jax.random.fold_in(
+            jax.random.fold_in(self._rng, 0x6E78), self._netexpr_flushes
+        )
+        self._netexpr_flushes += 1
+        one = sk.encrypt(1, one_rng)
+        stacked = [
+            [
+                _stack([p[1][v][j] for p in payloads])
+                for j in range(len(payloads[0][1][v]))
+            ]
+            for v in range(len(payloads[0][1]))
+        ]
+        out_exprs = eval_expr(netlist, stacked, one)
+        flat_bits = sk.decrypt_circuits([e for value in out_exprs for e in value])
+
+        def bit_vec(v):
+            # An output touching only the public constant folds to a scalar
+            # bit; broadcast it so every request reads the same value.
+            if getattr(v, "ndim", 0) == 1:
+                return v
+            return np.full(len(payloads), int(v), dtype=np.uint8)
+
+        it = iter(flat_bits)
+        per_value = [[bit_vec(next(it)) for _ in value] for value in out_exprs]
+        return [
+            [[int(arr[i]) for arr in value] for value in per_value]
+            for i in range(len(payloads))
+        ]
+
+    def _run_deccirc(self, payloads: list[tuple]) -> "list[int | object]":
         sk = self._need_key("decrypt_circuit")
-        return [int(v) for v in sk.decrypt_circuits([p[0] for p in payloads])]
+        # Fleet DAGs (CiphertextBatch leaves) resolve to uint8[B] arrays;
+        # scalar DAGs to int bits.
+        out = []
+        for v in sk.decrypt_circuits([p[0] for p in payloads]):
+            out.append(v if hasattr(v, "shape") else int(v))
+        return out
 
     def _run_perm(self, payloads: list[tuple]) -> list[Ciphertext]:
         batch = _stack([ct for ct, _ in payloads])

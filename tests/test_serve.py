@@ -214,6 +214,40 @@ def test_netlist_reproducible_and_guarded(sk, small_ctx):
         keyed.submit_netlist(nl, [a[:1], b])
 
 
+def test_netlist_expr_fleet_route(ex, sk):
+    """submit_netlist_expr: B deep-circuit requests = ONE group dispatch,
+    one fleet DAG, bits match the plain oracle.  adder(8)'s top carries
+    would materialize ~2^8-scale growth per request — the expr route never
+    materializes anything."""
+    from csgn_tpu.models.netlist import adder, eval_plain
+
+    width = 8
+    nl = adder(width)
+    cases = [(200, 100), (255, 255), (0, 1), (17, 4)]
+    reqs = []
+    for i, (x, y) in enumerate(cases):
+        a = _enc(sk, [(x >> j) & 1 for j in range(width)], seed=500 + i)
+        b = _enc(sk, [(y >> j) & 1 for j in range(width)], seed=540 + i)
+        reqs.append((a, b))
+    futs = [ex.submit_netlist_expr(nl, [a, b]) for a, b in reqs]
+    before = ex.stats["group_dispatches"]
+    ex.flush()
+    assert ex.stats["group_dispatches"] == before + 1  # ONE fleet DAG flush
+    for f, (x, y) in zip(futs, cases):
+        (out_bits,) = f.result()
+        got = sum(bit << j for j, bit in enumerate(out_bits))
+        assert got == x + y, (x, y, got)
+        (plain,) = eval_plain(
+            nl,
+            [[(x >> j) & 1 for j in range(width)], [(y >> j) & 1 for j in range(width)]],
+        )
+        assert out_bits == plain
+
+    keyless = BatchExecutor()
+    with pytest.raises(ValueError, match="need a BatchExecutor"):
+        keyless.submit_netlist_expr(nl, [reqs[0][0], reqs[0][1]])
+
+
 def test_decrypt_circuit_requests_group(ex, sk):
     """Expr-decrypt requests flush as one decrypt_circuits call; results
     match per-expr decryption and a plain Ciphertext submits fine too."""
