@@ -285,6 +285,72 @@ def test_batched_input_validation(hom):
         eval_homomorphic_batch(nl, [[b1, b1], [b1, b2]], gates.one)
 
 
+def test_fuzz_random_netlists_all_paths_agree(hom):
+    """Random small circuits: eval_plain (oracle), materialized, expr,
+    batched-materialized, and fleet-expr must all decrypt identically.
+    Gate count kept small so materialized growth stays cheap."""
+    import numpy as np
+
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.models.netlist import _Builder, eval_homomorphic_batch
+
+    sk, gates, key = hom
+    rnd = random.Random(0xF022)
+    B = 3
+    for trial in range(4):
+        n_in = rnd.randint(2, 4)
+        b = _Builder([n_in])
+        live = list(range(n_in))
+        n_ands = 0
+        for _ in range(rnd.randint(3, 9)):
+            op = rnd.choice(["XOR", "XOR", "AND", "INV", "EQW", "EQ"])
+            if op == "AND" and n_ands >= 3:
+                op = "XOR"  # bound materialized growth
+            if op == "XOR":
+                live.append(b.xor(rnd.choice(live), rnd.choice(live)))
+            elif op == "AND":
+                live.append(b.and_(rnd.choice(live), rnd.choice(live)))
+                n_ands += 1
+            elif op == "INV":
+                live.append(b.inv(rnd.choice(live)))
+            elif op == "EQW":
+                live.append(b.emit("EQW", rnd.choice(live)))
+            else:
+                live.append(b.emit("EQ", rnd.randint(0, 1)))
+        outs = [rnd.choice(live), rnd.choice(live)]
+        nl = b.finish(outs, [2])
+
+        insts = [[rnd.randint(0, 1) for _ in range(n_in)] for _ in range(B)]
+        enc = [
+            [sk.encrypt(bit, jax.random.fold_in(key, 10_000 * trial + 100 * i + j))
+             for j, bit in enumerate(bits)]
+            for i, bits in enumerate(insts)
+        ]
+        plain = [eval_plain(nl, [bits])[0] for bits in insts]
+        # materialized + expr, per instance
+        for i in range(B):
+            (mat,) = eval_homomorphic(nl, [enc[i]], gates)
+            (exp,) = eval_expr(nl, [enc[i]], gates.one)
+            got_m = [int(sk.decrypt(ct)) for ct in mat]
+            got_e = [int(v) for v in sk.decrypt_circuits(exp)]
+            assert got_m == got_e == plain[i], (trial, i, nl.to_text())
+        # batched-materialized + fleet-expr, whole fleet at once
+        wires = [
+            CiphertextBatch.stack([enc[i][j] for i in range(B)])
+            for j in range(n_in)
+        ]
+        (mat_b,) = eval_homomorphic_batch(nl, [wires], gates.one)
+        (exp_b,) = eval_expr(nl, [wires], gates.one)
+        fleet_bits = sk.decrypt_circuits(exp_b)
+        for i in range(B):
+            got_mb = [int(sk.decrypt(cb[i])) for cb in mat_b]
+            got_fb = [
+                int(v[i]) if isinstance(v, np.ndarray) else int(v)
+                for v in fleet_bits
+            ]
+            assert got_mb == got_fb == plain[i], (trial, i, nl.to_text())
+
+
 # -- published-format files from disk ---------------------------------------------
 
 import pathlib
