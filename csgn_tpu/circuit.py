@@ -85,9 +85,23 @@ def lift(x: "Ciphertext | CiphertextBatch | CtExpr") -> "CtExpr":
 
     if isinstance(x, CtExpr):
         return x
-    if isinstance(x, (Ciphertext, CiphertextBatch)):
+    if isinstance(x, CiphertextBatch):
+        return CtExpr(op="leaf", ct=x, args=(), chunks=x.chunks, batch=x.batch)
+    if isinstance(x, Ciphertext):
         return CtExpr(op="leaf", ct=x, args=(), chunks=x.chunks)
     raise TypeError(f"cannot lift {type(x).__name__} into a circuit")
+
+
+def _merge_batch(a: "int | None", b: "int | None") -> "int | None":
+    """Fleet sizes must agree exactly across a DAG (None = scalar leaf,
+    which broadcasts).  B=1 vs B=3 is rejected too — silently recycling one
+    instance's ciphertext across a fleet is exactly the under-stacking bug
+    this guard exists to catch (mirrors eval_homomorphic_batch's check)."""
+    if a is None:
+        return b
+    if b is None or a == b:
+        return a
+    raise ValueError(f"fleet batch mismatch in circuit: {a} vs {b}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -99,18 +113,31 @@ class CtExpr:
     args: tuple["CtExpr", ...]         # operands for add/mul
     chunks: int                        # materialized chunk count (per element
                                        # for batch leaves), capped at CHUNKS_SAT
+    batch: "int | None" = None         # fleet size; None = scalar-leaf-only DAG
 
     # -- construction ---------------------------------------------------------
 
-    def __add__(self, other: "Ciphertext | CtExpr") -> "CtExpr":
+    def __add__(self, other: "Ciphertext | CiphertextBatch | CtExpr") -> "CtExpr":
         other = lift(other)
-        return CtExpr("add", None, (self, other), sat_add(self.chunks, other.chunks))
+        return CtExpr(
+            "add",
+            None,
+            (self, other),
+            sat_add(self.chunks, other.chunks),
+            _merge_batch(self.batch, other.batch),
+        )
 
     __radd__ = __add__
 
-    def __mul__(self, other: "Ciphertext | CtExpr") -> "CtExpr":
+    def __mul__(self, other: "Ciphertext | CiphertextBatch | CtExpr") -> "CtExpr":
         other = lift(other)
-        return CtExpr("mul", None, (self, other), sat_mul(self.chunks, other.chunks))
+        return CtExpr(
+            "mul",
+            None,
+            (self, other),
+            sat_mul(self.chunks, other.chunks),
+            _merge_batch(self.batch, other.batch),
+        )
 
     __rmul__ = __mul__
 
@@ -123,15 +150,16 @@ class CtExpr:
 
     @property
     def nbytes_materialized(self) -> int:
-        """Payload bytes the materialized ciphertext would occupy."""
+        """Payload bytes the materialized result would occupy (× fleet size
+        for batch-leaf DAGs)."""
         ctx = self._any_leaf().ctx
-        return ctx.chunk_count_bytes(self.chunks)
+        return ctx.chunk_count_bytes(self.chunks) * (self.batch or 1)
 
-    def leaves(self) -> list[Ciphertext]:
-        """Distinct leaf ciphertexts (by identity), post-order."""
+    def leaves(self) -> "list[Ciphertext | CiphertextBatch]":
+        """Distinct leaf ciphertexts/batches (by identity), post-order."""
         return collect_leaves([self])
 
-    def _any_leaf(self) -> Ciphertext:
+    def _any_leaf(self) -> "Ciphertext | CiphertextBatch":
         node = self
         while node.op != "leaf":
             node = node.args[0]
@@ -140,14 +168,30 @@ class CtExpr:
 
     # -- evaluation -----------------------------------------------------------
 
-    def fold(self, leaf_fn) -> int:
-        """Evaluate the DAG in F2 with ``leaf_fn(ct) -> int`` at the leaves
-        (add = xor, mul = and), memoized on node identity."""
+    def fold(self, leaf_fn) -> "int | np.ndarray":
+        """Evaluate the DAG in F2 with ``leaf_fn(ct) -> int | ndarray`` at
+        the leaves (add = xor, mul = and), memoized on node identity.
+        Batch-leaf DAGs return uint8[B]."""
         return fold_many([self], leaf_fn)[0]
 
-    def materialize(self) -> Ciphertext:
-        """Fold the DAG into a real Ciphertext (the public, growth-paying
-        evaluation; bit-exact to applying the operators directly)."""
+    def materialize(self) -> "Ciphertext | CiphertextBatch":
+        """Fold the DAG into a real Ciphertext (or `CiphertextBatch` for an
+        all-batch-leaf DAG) — the public, growth-paying evaluation;
+        bit-exact to applying the operators directly.
+
+        A fleet DAG that also has scalar leaves (e.g. a netlist's public
+        NOT-constant) is FOLD-ONLY: the batched operators have no
+        scalar-broadcast form, so materializing would need B copies of every
+        scalar leaf — decrypt it key-side instead (`decrypt_circuit`).
+        """
+        if self.batch is not None and any(
+            isinstance(ct, Ciphertext) for ct in self.leaves()
+        ):
+            raise ValueError(
+                "cannot materialize a fleet DAG with scalar leaves (the fold "
+                "broadcasts them, ciphertext ops cannot); use "
+                "SecretKey.decrypt_circuit, or lift B copies of the scalar"
+            )
         memo: dict[int, Ciphertext] = {}
         for node in _postorder(self):
             if node.op == "leaf":
@@ -162,14 +206,15 @@ class CtExpr:
         return f"CtExpr(op={self.op}, chunks={self.chunks}, leaves={len(self.leaves())})"
 
 
-def collect_leaves(exprs: "list[CtExpr]") -> "list[Ciphertext]":
-    """Distinct leaf ciphertexts (by identity) across MANY DAGs, post-order.
+def collect_leaves(exprs: "list[CtExpr]") -> "list[Ciphertext | CiphertextBatch]":
+    """Distinct leaf ciphertexts/batches (by identity) across MANY DAGs,
+    post-order.
 
     Shares one visited set across roots, so multi-output circuits pay one
     walk total instead of one per output (per-root `leaves()` on a 128-output
     published-size netlist re-walks the shared interior 128 times).
     """
-    out: list[Ciphertext] = []
+    out: "list[Ciphertext | CiphertextBatch]" = []
     seen: set[int] = set()
     visited: set[int] = set()
     for root in exprs:
@@ -180,7 +225,7 @@ def collect_leaves(exprs: "list[CtExpr]") -> "list[Ciphertext]":
     return out
 
 
-def fold_many(exprs: "list[CtExpr]", leaf_fn) -> list[int]:
+def fold_many(exprs: "list[CtExpr]", leaf_fn) -> "list[int | np.ndarray]":
     """Evaluate MANY DAGs with ONE shared memo (add = xor, mul = and).
 
     Multi-output circuits (a netlist's 128 output bits, say) share most of
@@ -195,10 +240,10 @@ def fold_many(exprs: "list[CtExpr]", leaf_fn) -> list[int]:
     DAG over B-fleets folds once for the whole fleet and each result is a
     uint8[B] vector.
     """
-    memo: dict[int, int] = {}
-    leaf_memo: dict[int, int] = {}
+    memo: "dict[int, int | np.ndarray]" = {}
+    leaf_memo: "dict[int, int | np.ndarray]" = {}
     visited: set[int] = set()
-    out: list[int] = []
+    out: "list[int | np.ndarray]" = []
     for root in exprs:
         for node in _postorder(root, visited):
             if node.op == "leaf":
@@ -247,9 +292,8 @@ def _map_leaves(root: CtExpr, fn) -> CtExpr:
     memo: dict[int, CtExpr] = {}
     for node in _postorder(root):
         if node.op == "leaf":
-            new_ct = fn(node.ct)
-            memo[id(node)] = CtExpr("leaf", new_ct, (), new_ct.chunks)
+            memo[id(node)] = lift(fn(node.ct))  # re-derives chunks/batch
         else:
             args = tuple(memo[id(a)] for a in node.args)
-            memo[id(node)] = CtExpr(node.op, None, args, node.chunks)
+            memo[id(node)] = CtExpr(node.op, None, args, node.chunks, node.batch)
     return memo[id(root)]

@@ -192,17 +192,22 @@ class BatchExecutor:
         NOT-constant is an encryption of 1 derived from the executor rng on
         a stream independent of `submit_encrypt`'s).
         """
+        return self._submit_netlist_common("net", "netlist", netlist, inputs)
+
+    def _submit_netlist_common(self, kind: str, label: str, netlist, inputs) -> ServeFuture:
+        """Shared validation + enqueue for both netlist routes (materialized
+        `submit_netlist` and expr-route `submit_netlist_expr`)."""
         from csgn_tpu.models.netlist import Netlist, _flatten_inputs
 
-        self._need_key("netlist")
+        self._need_key(label)
         if not isinstance(netlist, Netlist):
             raise TypeError(f"expected Netlist, got {type(netlist).__name__}")
         inputs = tuple(tuple(v) for v in inputs)
         flat = _flatten_inputs(netlist, inputs)
         for ct in flat:
-            self._check_ct(ct, "netlist")
+            self._check_ct(ct, label)
         shapes = tuple(ct.chunks for ct in flat)
-        return self._enqueue(("net", netlist, self._key.ctx, shapes), (netlist, inputs))
+        return self._enqueue((kind, netlist, self._key.ctx, shapes), (netlist, inputs))
 
     def submit_netlist_expr(self, netlist, inputs) -> ServeFuture:
         """Evaluate a netlist growth-free and decrypt its outputs; resolves
@@ -217,22 +222,11 @@ class BatchExecutor:
         vectorized fold reads out every request's bits.  Key-side by
         necessity — the results are decrypted bits, not ciphertexts.
         """
-        from csgn_tpu.models.netlist import Netlist, _flatten_inputs
-
-        self._need_key("netlist_expr")
-        if not isinstance(netlist, Netlist):
-            raise TypeError(f"expected Netlist, got {type(netlist).__name__}")
-        inputs = tuple(tuple(v) for v in inputs)
-        flat = _flatten_inputs(netlist, inputs)
-        for ct in flat:
-            self._check_ct(ct, "netlist_expr")
-        shapes = tuple(ct.chunks for ct in flat)
-        return self._enqueue(
-            ("netexpr", netlist, self._key.ctx, shapes), (netlist, inputs)
-        )
+        return self._submit_netlist_common("netexpr", "netlist_expr", netlist, inputs)
 
     def submit_decrypt_circuit(self, expr) -> ServeFuture:
-        """Decrypt a +/* DAG (`CtExpr` or Ciphertext); resolves to an int bit.
+        """Decrypt a +/* DAG (`CtExpr` or Ciphertext); resolves to an int bit
+        (or a uint8[B] array when the DAG has `CiphertextBatch` fleet leaves).
 
         All pending circuit requests flush as ONE `SecretKey.decrypt_circuits`
         call: distinct leaves across every submitted DAG decrypt in one
@@ -338,19 +332,17 @@ class BatchExecutor:
         host_bits = jax.device_get(bits)
         return [(out[i], int(host_bits[i])) for i in range(len(payloads))]
 
-    def _run_net(self, payloads: list[tuple]) -> list[list[list[Ciphertext]]]:
-        from csgn_tpu.models.netlist import eval_homomorphic_batch
-
+    def _netlist_flush_setup(self, payloads: list[tuple], tag: int, counter: str):
+        """Shared per-flush setup for both netlist runners: one public
+        encryption of 1 on a stream tagged away from submit_encrypt's
+        (reproducible; see class doc), plus each input wire stacked across
+        the group's requests."""
         sk = self._need_key("netlist")
-        netlist = payloads[0][0]  # group key pins one netlist per group
-        # One public encryption of 1 per netlist flush, on a stream tagged
-        # away from the submit_encrypt stream (reproducible; see class doc).
         one_rng = jax.random.fold_in(
-            jax.random.fold_in(self._rng, 0x6E65), self._net_flushes
+            jax.random.fold_in(self._rng, tag), getattr(self, counter)
         )
-        self._net_flushes += 1
+        setattr(self, counter, getattr(self, counter) + 1)
         one = sk.encrypt(1, one_rng)
-        # Stack each input wire across the group's requests.
         stacked = [
             [
                 _stack([p[1][v][j] for p in payloads])
@@ -358,6 +350,13 @@ class BatchExecutor:
             ]
             for v in range(len(payloads[0][1]))
         ]
+        return sk, one, stacked
+
+    def _run_net(self, payloads: list[tuple]) -> list[list[list[Ciphertext]]]:
+        from csgn_tpu.models.netlist import eval_homomorphic_batch
+
+        netlist = payloads[0][0]  # group key pins one netlist per group
+        sk, one, stacked = self._netlist_flush_setup(payloads, 0x6E65, "_net_flushes")
         out_batches = eval_homomorphic_batch(netlist, stacked, one)
         return [
             [[cb[i] for cb in value] for value in out_batches]
@@ -367,20 +366,10 @@ class BatchExecutor:
     def _run_netexpr(self, payloads: list[tuple]) -> list[list[list[int]]]:
         from csgn_tpu.models.netlist import eval_expr
 
-        sk = self._need_key("netlist_expr")
         netlist = payloads[0][0]  # group key pins one netlist per group
-        one_rng = jax.random.fold_in(
-            jax.random.fold_in(self._rng, 0x6E78), self._netexpr_flushes
+        sk, one, stacked = self._netlist_flush_setup(
+            payloads, 0x6E78, "_netexpr_flushes"
         )
-        self._netexpr_flushes += 1
-        one = sk.encrypt(1, one_rng)
-        stacked = [
-            [
-                _stack([p[1][v][j] for p in payloads])
-                for j in range(len(payloads[0][1][v]))
-            ]
-            for v in range(len(payloads[0][1]))
-        ]
         out_exprs = eval_expr(netlist, stacked, one)
         flat_bits = sk.decrypt_circuits([e for value in out_exprs for e in value])
 

@@ -90,6 +90,34 @@ def test_batch_leaf_dags(setup, small_ctx, rng):
     assert outs[2].tolist() == [a ^ b for a, b in zip(bits_a, bits_b)]
 
 
+def test_fleet_dag_guards(setup):
+    """Mismatched fleet sizes fail at CONSTRUCTION (incl. the silent B=1
+    broadcast trap); mixed scalar/batch DAGs refuse to materialize with an
+    explaining message; nbytes accounts for the fleet size."""
+    import pytest as _p
+
+    from csgn_tpu.batch import CiphertextBatch
+
+    sk, enc = setup
+    b3 = CiphertextBatch.stack([enc(1, 40 + i) for i in range(3)])
+    b2 = CiphertextBatch.stack([enc(1, 50 + i) for i in range(2)])
+    b1 = CiphertextBatch.stack([enc(1, 60)])
+    with _p.raises(ValueError, match="fleet batch mismatch"):
+        lift(b3) + b2
+    with _p.raises(ValueError, match="fleet batch mismatch"):
+        lift(b1) * b3  # B=1 must NOT silently broadcast across the fleet
+    e = lift(b3) * b3
+    assert e.batch == 3
+    assert e.nbytes_materialized == 3 * e._any_leaf().ctx.chunk_count_bytes(1)
+    mixed = e + enc(1, 70)  # scalar constant broadcasts in folds...
+    assert sk.decrypt_circuit(mixed).shape == (3,)
+    with _p.raises(ValueError, match="fold-only|cannot materialize"):
+        mixed.materialize()  # ...but has no materialized form
+    # all-batch DAGs still materialize to a CiphertextBatch
+    m = e.materialize()
+    assert isinstance(m, CiphertextBatch) and m.batch == 3
+
+
 def test_deep_chain_beyond_hbm(setup):
     """32-deep multiply chain of 2-chunk inputs: materialized = 2^32 chunks
     (far beyond HBM); the circuit decrypts from 64 fresh leaf chunks."""
