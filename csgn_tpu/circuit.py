@@ -48,10 +48,30 @@ __all__ = [
     "lift",
     "fold_many",
     "collect_leaves",
+    "pack_bits",
+    "unpack_bits",
     "CHUNKS_SAT",
     "sat_add",
     "sat_mul",
 ]
+
+
+def pack_bits(bits) -> int:
+    """Bit vector (uint8[B] / list) -> one Python int, instance i at bit i.
+
+    Fleet folds run on packed ints: one native int xor/and per gate instead
+    of a ~1 µs numpy dispatch on a uint8[B] array — ~10× less host time per
+    gate on published-size circuits, at ANY fleet size (Python ints are
+    arbitrary precision)."""
+    arr = np.asarray(bits, dtype=np.uint8) & 1
+    return int.from_bytes(np.packbits(arr, bitorder="little").tobytes(), "little")
+
+
+def unpack_bits(v: int, b: int) -> np.ndarray:
+    """Inverse of `pack_bits`: the low ``b`` bits as uint8[b]."""
+    nbytes = (b + 7) // 8
+    raw = np.frombuffer(v.to_bytes(nbytes, "little"), dtype=np.uint8)
+    return np.unpackbits(raw, bitorder="little")[:b]
 
 CHUNKS_SAT = 1 << 63
 """Chunk-count accounting saturates here.
@@ -168,10 +188,11 @@ class CtExpr:
 
     # -- evaluation -----------------------------------------------------------
 
-    def fold(self, leaf_fn) -> "int | np.ndarray":
-        """Evaluate the DAG in F2 with ``leaf_fn(ct) -> int | ndarray`` at
-        the leaves (add = xor, mul = and), memoized on node identity.
-        Batch-leaf DAGs return uint8[B]."""
+    def fold(self, leaf_fn) -> int:
+        """Evaluate the DAG in F2 with ``leaf_fn(ct) -> int | bit-vector``
+        at the leaves (add = xor, mul = and), memoized on node identity.
+        Fleet DAGs return a `pack_bits`-packed int (instance i at bit i);
+        see `fold_many` for the representation contract."""
         return fold_many([self], leaf_fn)[0]
 
     def materialize(self) -> "Ciphertext | CiphertextBatch":
@@ -235,30 +256,43 @@ def fold_many(exprs: "list[CtExpr]", leaf_fn) -> "list[int | np.ndarray]":
     Bit-exact to per-root `fold` by construction (same recurrences, same
     memoization keys).
 
-    ``leaf_fn`` may return an int (scalar leaf) or an ndarray of bits
-    (`CiphertextBatch` leaf, one bit per instance); xor/and broadcast, so a
-    DAG over B-fleets folds once for the whole fleet and each result is a
-    uint8[B] vector.
+    ``leaf_fn`` returns a 0/1 int for a scalar leaf; for a `CiphertextBatch`
+    leaf it returns either a bit vector (ndarray/list, one bit per instance)
+    or an already-`pack_bits`-packed int.  Fleet values fold as PACKED ints
+    (instance i at bit i — one native int op per gate; see `pack_bits`), and
+    scalar subtrees broadcast exactly: a scalar bit expands to 0 or the
+    all-instances mask at the node where the fleet meets it.  Fleet roots
+    return packed ints — `unpack_bits(v, root.batch)` recovers the vector
+    (`SecretKey.decrypt_circuit(s)` does this for you).
     """
-    memo: "dict[int, int | np.ndarray]" = {}
-    leaf_memo: "dict[int, int | np.ndarray]" = {}
+    memo: dict[int, int] = {}
+    leaf_memo: dict[int, int] = {}
+    masks: dict[int, int] = {}
     visited: set[int] = set()
-    out: "list[int | np.ndarray]" = []
+    out: list[int] = []
     for root in exprs:
         for node in _postorder(root, visited):
             if node.op == "leaf":
                 k = id(node.ct)
                 if k not in leaf_memo:
                     v = leaf_fn(node.ct)
-                    if isinstance(v, np.ndarray):
-                        leaf_memo[k] = v.astype(np.uint8) & 1
-                    else:
-                        leaf_memo[k] = int(v) & 1
+                    if isinstance(v, (np.ndarray, list, tuple)):
+                        v = pack_bits(v)
+                    leaf_memo[k] = int(v) if node.batch else int(v) & 1
                 memo[id(node)] = leaf_memo[k]
-            elif node.op == "add":
-                memo[id(node)] = memo[id(node.args[0])] ^ memo[id(node.args[1])]
             else:
-                memo[id(node)] = memo[id(node.args[0])] & memo[id(node.args[1])]
+                a0, a1 = node.args
+                v0, v1 = memo[id(a0)], memo[id(a1)]
+                if node.batch is not None:
+                    mask = masks.get(node.batch)
+                    if mask is None:
+                        mask = masks[node.batch] = (1 << node.batch) - 1
+                    # A scalar subtree's bit broadcasts across the fleet.
+                    if a0.batch is None:
+                        v0 = mask if v0 else 0
+                    if a1.batch is None:
+                        v1 = mask if v1 else 0
+                memo[id(node)] = v0 ^ v1 if node.op == "add" else v0 & v1
         out.append(memo[id(root)])
     return out
 

@@ -315,13 +315,16 @@ class SecretKey:
         (e.g. 32-deep chains whose materialized form exceeds HBM).
 
         DAGs over `CiphertextBatch` leaves fold the whole B-fleet at once
-        (leaf bits broadcast through xor/and) and return uint8[B] instead of
-        a Plaintext.
+        (one packed-int op per gate; scalar subtrees broadcast) and return
+        uint8[B] instead of a Plaintext.
         """
-        from csgn_tpu.circuit import lift
+        from csgn_tpu.circuit import lift, unpack_bits
 
-        bit = lift(expr).fold(self._leaf_bits)
-        return bit if isinstance(bit, np.ndarray) else Plaintext(bit)
+        e = lift(expr)
+        bit = e.fold(self._leaf_bits)
+        if e.batch is not None:
+            return unpack_bits(bit, e.batch)
+        return Plaintext(bit)
 
     def decrypt_circuits(self, exprs) -> "list[Plaintext | np.ndarray]":
         """Decrypt MANY +/* DAGs sharing leaves with batched leaf decrypts.
@@ -340,7 +343,13 @@ class SecretKey:
         uint8[B] arrays (one bit per instance) instead of Plaintexts.
         """
         from csgn_tpu.batch import CiphertextBatch
-        from csgn_tpu.circuit import collect_leaves, fold_many, lift
+        from csgn_tpu.circuit import (
+            collect_leaves,
+            fold_many,
+            lift,
+            pack_bits,
+            unpack_bits,
+        )
 
         exprs = [lift(e) for e in exprs]
         leaves = collect_leaves(exprs)
@@ -368,12 +377,13 @@ class SecretKey:
             vals = np.asarray(jax.device_get(self.decrypt_batch(stacked)))
             b = cbs[0].batch
             for i, cb in enumerate(cbs):
-                bits[id(cb)] = vals[i * b : (i + 1) * b].astype(np.uint8)
+                bits[id(cb)] = pack_bits(vals[i * b : (i + 1) * b])
         # One shared-memo walk over the union DAG: multi-output circuits
         # share interior nodes, so per-expr fold would cost outputs × gates.
+        vals = fold_many(exprs, lambda ct: bits[id(ct)])
         return [
-            b if isinstance(b, np.ndarray) else Plaintext(b)
-            for b in fold_many(exprs, lambda ct: bits[id(ct)])
+            unpack_bits(v, e.batch) if e.batch is not None else Plaintext(v)
+            for e, v in zip(exprs, vals)
         ]
 
     def recrypt(self, ciphertext: Ciphertext, rng: jax.Array) -> Ciphertext:
