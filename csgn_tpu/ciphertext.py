@@ -151,6 +151,8 @@ class Ciphertext:
             raise ValueError(f"context mismatch: {self.ctx} vs {other.ctx}")
 
     def __add__(self, other: "Ciphertext") -> "Ciphertext":
+        if not isinstance(other, Ciphertext):
+            return NotImplemented  # let CtExpr.__radd__ lift us into a DAG
         self._check_ctx(other)
         t1, t2 = self.chunks, other.chunks
         with op_metrics().record(
@@ -163,6 +165,8 @@ class Ciphertext:
             )
 
     def __mul__(self, other: "Ciphertext") -> "Ciphertext":
+        if not isinstance(other, Ciphertext):
+            return NotImplemented  # let CtExpr.__rmul__ lift us into a DAG
         self._check_ctx(other)
         t1, t2 = self.chunks, other.chunks
         with op_metrics().record(

@@ -90,6 +90,40 @@ def test_batch_leaf_dags(setup, small_ctx, rng):
     assert outs[2].tolist() == [a ^ b for a, b in zip(bits_a, bits_b)]
 
 
+def test_pack_unpack_bits_roundtrip():
+    import numpy as np
+
+    from csgn_tpu.circuit import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(5)
+    for b in (1, 7, 8, 64, 65, 200):
+        bits = rng.integers(0, 2, b).astype(np.uint8)
+        v = pack_bits(bits)
+        assert v == sum(int(x) << i for i, x in enumerate(bits))
+        assert np.array_equal(unpack_bits(v, b), bits), b
+    assert pack_bits([1, 0, 1]) == 0b101
+    assert unpack_bits(0, 3).tolist() == [0, 0, 0]
+
+
+def test_fleet_fold_large_batch(setup):
+    """B=70 (crosses the 64-bit boundary of the packed representation):
+    fleet fold equals per-instance scalar folds."""
+    from csgn_tpu.batch import CiphertextBatch
+
+    sk, enc = setup
+    B = 70
+    bits_a = [(i * 7 + 3) % 2 for i in range(B)]
+    bits_b = [(i * 5 + 1) % 2 for i in range(B)]
+    ca = [enc(b, 700 + i) for i, b in enumerate(bits_a)]
+    cb = [enc(b, 800 + i) for i, b in enumerate(bits_b)]
+    A, Bb = CiphertextBatch.stack(ca), CiphertextBatch.stack(cb)
+    one = enc(1, 900)
+    e = (lift(A) + Bb) * A + one * lift(Bb)
+    got = sk.decrypt_circuit(e)
+    expect = [((a ^ b) & a) ^ (1 & b) for a, b in zip(bits_a, bits_b)]
+    assert got.tolist() == expect
+
+
 def test_fleet_dag_guards(setup):
     """Mismatched fleet sizes fail at CONSTRUCTION (incl. the silent B=1
     broadcast trap); mixed scalar/batch DAGs refuse to materialize with an
