@@ -443,6 +443,45 @@ def main():
     log(f"serve: loop {t_loop*1e3:.1f} ms vs flush {t_batch*1e3:.1f} ms for "
         f"{s_req} requests -> {serve_speedup:.1f}x  spread {serve_spread*100:.1f}%")
 
+    # --- flagship capability row (r5 continuation): homomorphic AES-128
+    # fleet throughput through the fleet expr path (one encrypt_batch, one
+    # 229k-node DAG, packed-int fold — docs/performance.md "Deep circuits").
+    # Informational composite (host+dispatch), not a kernel rate: best of 2
+    # end-to-end runs, guarded so a failure never breaks the JSON line.
+    aes_fleet_bps = None
+    try:
+        from csgn_tpu.batch import CiphertextBatch
+        from csgn_tpu.models.aes import aes128
+        from csgn_tpu.models.netlist import bits_from_bytes, bytes_from_bits, eval_expr
+
+        fb = 64
+        fleet_nl = aes128()
+        fkeys = [bytes([(7 * b + i) % 256 for i in range(16)]) for b in range(fb)]
+        fkeys[0] = bytes(range(16))  # FIPS C.1 anchor
+        fblock = bytes.fromhex("00112233445566778899aabbccddeeff")
+        bit_mat = np.zeros((256, fb), dtype=np.uint8)
+        for b in range(fb):
+            bit_mat[:, b] = bits_from_bytes(fkeys[b] + fblock)
+        one_ct = sk.encrypt(1, jax.random.key(0xF1))
+        times = []
+        for rep in range(2):
+            t0 = time.perf_counter()
+            fw = sk.encrypt_batch(
+                jnp.asarray(bit_mat.reshape(-1)), jax.random.key(0xF2 + rep)
+            )
+            w3 = jnp.transpose(jnp.reshape(fw, (fw.shape[0], 256, fb)), (2, 0, 1))
+            wires = [CiphertextBatch(w3[:, :, i : i + 1], ctx) for i in range(256)]
+            (fouts,) = eval_expr(fleet_nl, [wires[:128], wires[128:]], one_ct)
+            fres = sk.decrypt_circuits(fouts)
+            times.append(time.perf_counter() - t0)
+            got0 = bytes_from_bits([int(r[0]) for r in fres])
+            assert got0.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a", got0.hex()
+        aes_fleet_bps = fb / min(times)
+        log(f"aes fleet: B={fb} in {min(times):.2f} s -> {aes_fleet_bps:.1f} "
+            f"homomorphic AES-128 blocks/s (FIPS-anchored)")
+    except Exception as exc:  # noqa: BLE001 — informational row only
+        log(f"aes fleet row skipped: {type(exc).__name__}: {exc}")
+
     # --- headline: fused mul+dec throughput per chunk vs reference C++.
     # The workload is the reference's multiply-then-decrypt pipeline; ours
     # fuses the two (one pass).  Staged rates are the stderr rows above.
@@ -487,6 +526,11 @@ def main():
                 "serve_loop_ms": round(t_loop * 1e3, 1),
                 "serve_batch_ms": round(t_batch * 1e3, 1),
                 "serve_spread_pct": round(serve_spread * 100, 1),
+                # flagship capability: encrypted AES-128 blocks/s (fleet
+                # expr path, B=64, FIPS-anchored; None if the row failed)
+                "aes_fleet_blocks_per_s": (
+                    round(aes_fleet_bps, 1) if aes_fleet_bps else None
+                ),
             }
         )
     )
