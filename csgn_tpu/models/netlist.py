@@ -52,6 +52,7 @@ __all__ = [
     "Netlist",
     "Gate",
     "eval_plain",
+    "eval_plain_packed",
     "eval_homomorphic",
     "eval_homomorphic_batch",
     "eval_expr",
@@ -320,6 +321,37 @@ def eval_plain(netlist: Netlist, inputs: Sequence[Sequence[int]]) -> list[list[i
             wires[g.out] = wires[g.ins[0]]
         else:  # EQ
             wires[g.out] = g.ins[0]
+    return _unflatten_outputs(netlist, wires)
+
+
+def eval_plain_packed(
+    netlist: Netlist, inputs: Sequence[Sequence[int]], b: int
+) -> list[list[int]]:
+    """`eval_plain` over B instances at once on `circuit.pack_bits`-packed
+    ints (instance i at bit i) — ONE native int op per gate for the whole
+    fleet.
+
+    This is the key-side fleet readout: decrypting a netlist's CtExpr DAG
+    folds to exactly this evaluation over the decrypted input bits (Dec is
+    a ring homomorphism, reference src/SecretKey.cpp:126-146), so a
+    key-holding server (`BatchExecutor.submit_netlist_expr`) can skip
+    building the DAG entirely.  Outputs are packed; unpack with
+    `circuit.unpack_bits(v, b)`.
+    """
+    mask = (1 << b) - 1
+    flat = _flatten_inputs(netlist, inputs)
+    wires: dict[int, int] = {i: int(v) & mask for i, v in enumerate(flat)}
+    for g in netlist.gates:
+        if g.op == "XOR":
+            wires[g.out] = wires[g.ins[0]] ^ wires[g.ins[1]]
+        elif g.op == "AND":
+            wires[g.out] = wires[g.ins[0]] & wires[g.ins[1]]
+        elif g.op in ("INV", "NOT"):
+            wires[g.out] = wires[g.ins[0]] ^ mask
+        elif g.op == "EQW":
+            wires[g.out] = wires[g.ins[0]]
+        else:  # EQ
+            wires[g.out] = mask if g.ins[0] else 0
     return _unflatten_outputs(netlist, wires)
 
 

@@ -123,7 +123,8 @@ class BatchExecutor:
         self._enc_flushes = 0  # dedicated counter: encrypt randomness depends
         # only on how many encrypt groups ran, never on unrelated op groups.
         self._net_flushes = 0  # same discipline for netlist NOT-constants.
-        self._netexpr_flushes = 0  # ...and for expr-route NOT-constants.
+        # (the expr route needs no NOT-constant: it evaluates key-side on
+        # decrypted bits, INV is a plain bit flip)
         self.stats = {"requests": 0, "flushes": 0, "group_dispatches": 0}
 
     # -- submission -------------------------------------------------------------
@@ -364,27 +365,48 @@ class BatchExecutor:
         ]
 
     def _run_netexpr(self, payloads: list[tuple]) -> list[list[list[int]]]:
-        from csgn_tpu.models.netlist import eval_expr
+        """Key-side fleet readout: decrypting a netlist's expr DAG folds to
+        plain evaluation over the decrypted input bits (Dec is a ring
+        homomorphism), so this route skips building the 10^5-node DAG a
+        published-size circuit would need — decrypt every input wire batch
+        (grouped into one dispatch per chunk shape), then run the circuit
+        once on packed bit-masks (`eval_plain_packed`, one int op per gate
+        for the whole group).  Bit-exact to the eval_expr + decrypt_circuits
+        path (tests/test_serve.py)."""
+        from csgn_tpu.circuit import pack_bits, unpack_bits
+        from csgn_tpu.models.netlist import eval_plain_packed
 
+        sk = self._need_key("netlist_expr")
         netlist = payloads[0][0]  # group key pins one netlist per group
-        sk, one, stacked = self._netlist_flush_setup(
-            payloads, 0x6E78, "_netexpr_flushes"
-        )
-        out_exprs = eval_expr(netlist, stacked, one)
-        flat_bits = sk.decrypt_circuits([e for value in out_exprs for e in value])
-
-        def bit_vec(v):
-            # An output touching only the public constant folds to a scalar
-            # bit; broadcast it so every request reads the same value.
-            if getattr(v, "ndim", 0) == 1:
-                return v
-            return np.full(len(payloads), int(v), dtype=np.uint8)
-
-        it = iter(flat_bits)
-        per_value = [[bit_vec(next(it)) for _ in value] for value in out_exprs]
+        b = len(payloads)
+        # Stack each input wire across the group's requests, then decrypt
+        # all wires of the same chunk shape in ONE batched dispatch.
+        stacked = [
+            [
+                _stack([p[1][v][j] for p in payloads])
+                for j in range(len(payloads[0][1][v]))
+            ]
+            for v in range(len(payloads[0][1]))
+        ]
+        flat = [cb for value in stacked for cb in value]
+        groups: dict[tuple, list[int]] = {}
+        for i, cb in enumerate(flat):
+            groups.setdefault(tuple(cb.wt.shape), []).append(i)
+        packed = [0] * len(flat)
+        for idxs in groups.values():
+            wt = jnp.concatenate([flat[i].wt for i in idxs], axis=0)
+            vals = np.asarray(
+                jax.device_get(sk.decrypt_batch(CiphertextBatch(wt, sk.ctx)))
+            )
+            for gi, i in enumerate(idxs):
+                packed[i] = pack_bits(vals[gi * b : (gi + 1) * b])
+        it = iter(packed)
+        packed_inputs = [[next(it) for _ in value] for value in stacked]
+        outs = eval_plain_packed(netlist, packed_inputs, b)
+        out_vecs = [[unpack_bits(v, b) for v in value] for value in outs]
         return [
-            [[int(arr[i]) for arr in value] for value in per_value]
-            for i in range(len(payloads))
+            [[int(vec[i]) for vec in value] for value in out_vecs]
+            for i in range(b)
         ]
 
     def _run_deccirc(self, payloads: list[tuple]) -> "list[int | object]":
