@@ -90,6 +90,23 @@ def test_batch_leaf_dags(setup, small_ctx, rng):
     assert outs[2].tolist() == [a ^ b for a, b in zip(bits_a, bits_b)]
 
 
+def test_batch_leaf_permutation_pushdown(setup, small_ctx, rng):
+    """apply_permutation on a fleet DAG maps CiphertextBatch leaves and
+    preserves fleet semantics: Dec_perm-key(perm(DAG)) == Dec(DAG)."""
+    from csgn_tpu import Permutation
+    from csgn_tpu.batch import CiphertextBatch
+
+    sk, enc = setup
+    A = CiphertextBatch.stack([enc(b, 130 + i) for i, b in enumerate([1, 0, 1])])
+    Bb = CiphertextBatch.stack([enc(b, 140 + i) for i, b in enumerate([1, 1, 0])])
+    e = lift(A) * Bb + A
+    p = Permutation.random(small_ctx, jax.random.fold_in(rng, 99))
+    pe = e.apply_permutation(p)
+    assert pe.batch == 3
+    psk = sk.apply_permutation(p)
+    assert psk.decrypt_circuit(pe).tolist() == sk.decrypt_circuit(e).tolist()
+
+
 def test_pack_unpack_bits_roundtrip():
     import numpy as np
 
