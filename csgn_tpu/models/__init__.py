@@ -14,11 +14,15 @@ from csgn_tpu.models.lookup import private_lookup
 from csgn_tpu.models.netlist import (
     Netlist,
     adder,
+    bits_from_bytes,
+    bytes_from_bits,
     comparator_gt,
     equality,
     eval_expr,
     eval_homomorphic,
+    eval_homomorphic_batch,
     eval_plain,
+    eval_plain_packed,
 )
 
 __all__ = [
@@ -29,9 +33,13 @@ __all__ = [
     "private_lookup",
     "Netlist",
     "adder",
+    "bits_from_bytes",
+    "bytes_from_bits",
     "comparator_gt",
     "equality",
     "eval_expr",
     "eval_homomorphic",
+    "eval_homomorphic_batch",
     "eval_plain",
+    "eval_plain_packed",
 ]

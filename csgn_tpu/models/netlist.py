@@ -203,6 +203,39 @@ class Netlist:
                 chunks[g.out] = one_chunks if g.ins[0] else 2 * one_chunks
         return [chunks[w] for w in range(self.n_wires - self.n_outputs, self.n_wires)]
 
+    def peak_chunks(
+        self, input_chunks: Sequence[int] | int = 1, one_chunks: int = 1
+    ) -> int:
+        """Largest chunk count any single wire materializes to (saturating).
+
+        A lower bound on peak live memory for `eval_homomorphic`; the
+        budget guards use it to reject deep circuits BEFORE the first
+        superlinear multiply allocates (same discipline as
+        pipeline.mul_chain's closed-form check).
+        """
+        if isinstance(input_chunks, int):
+            input_chunks = [input_chunks] * self.n_inputs
+        if len(input_chunks) != self.n_inputs:
+            raise ValueError(
+                f"need {self.n_inputs} input chunk counts, got {len(input_chunks)}"
+            )
+        chunks: dict[int, int] = {i: int(c) for i, c in enumerate(input_chunks)}
+        peak = max(chunks.values(), default=0)
+        for g in self.gates:
+            if g.op == "XOR":
+                chunks[g.out] = sat_add(chunks[g.ins[0]], chunks[g.ins[1]])
+            elif g.op == "AND":
+                chunks[g.out] = sat_mul(chunks[g.ins[0]], chunks[g.ins[1]])
+            elif g.op in ("INV", "NOT"):
+                chunks[g.out] = sat_add(chunks[g.ins[0]], one_chunks)
+            elif g.op == "EQW":
+                chunks[g.out] = chunks[g.ins[0]]
+            else:  # EQ
+                chunks[g.out] = one_chunks if g.ins[0] else 2 * one_chunks
+            if chunks[g.out] > peak:
+                peak = chunks[g.out]
+        return peak
+
     # -- (de)serialization -------------------------------------------------------
 
     @classmethod
@@ -355,18 +388,42 @@ def eval_plain_packed(
     return _unflatten_outputs(netlist, wires)
 
 
+def _check_netlist_budget(
+    netlist: Netlist, flat_inputs, one: Ciphertext, b: int, budget_bytes
+) -> None:
+    """Reject materialization that cannot fit BEFORE the first superlinear
+    multiply allocates (pipeline.mul_chain's budget discipline)."""
+    if budget_bytes is None:
+        return
+    peak = netlist.peak_chunks([ct.chunks for ct in flat_inputs], one.chunks)
+    need = one.ctx.chunk_count_bytes(peak) * b
+    if need > budget_bytes:
+        raise ValueError(
+            f"materialized evaluation peaks at >= {need / 2**30:.2f} GiB "
+            f"({peak} chunks on one wire x batch {b}) > budget "
+            f"{budget_bytes / 2**30:.2f} GiB; deep circuits are growth-free "
+            "via eval_expr + SecretKey.decrypt_circuit(s) (or the executor's "
+            "submit_netlist_expr).  Pass budget_bytes=None to override."
+        )
+
+
 def eval_homomorphic(
-    netlist: Netlist, inputs: Sequence[Sequence[Ciphertext]], gates: Gates
+    netlist: Netlist,
+    inputs: Sequence[Sequence[Ciphertext]],
+    gates: Gates,
+    *,
+    budget_bytes: "int | None" = None,
 ) -> list[list[Ciphertext]]:
     """Materialized ciphertext evaluation (public; pays chunk growth).
 
-    Check `netlist.growth()` against available HBM first — a deep carry
-    chain materializes exponentially many chunks.  For key-side decryption
-    of deep circuits use `eval_expr` instead.
+    ``budget_bytes`` (opt-in here; the serving executor passes the HBM
+    budget) rejects circuits whose growth cannot fit before anything
+    allocates.  For key-side decryption of deep circuits use `eval_expr`
+    instead.
     """
-    wires: dict[int, Ciphertext] = dict(
-        enumerate(_flatten_inputs(netlist, inputs))
-    )
+    flat = _flatten_inputs(netlist, inputs)
+    _check_netlist_budget(netlist, flat, gates.one, 1, budget_bytes)
+    wires: dict[int, Ciphertext] = dict(enumerate(flat))
     for g in netlist.gates:
         if g.op == "XOR":
             wires[g.out] = wires[g.ins[0]] + wires[g.ins[1]]
@@ -385,6 +442,8 @@ def eval_homomorphic_batch(
     netlist: Netlist,
     inputs: Sequence[Sequence[CiphertextBatch]],
     one: Ciphertext,
+    *,
+    budget_bytes: "int | None" = None,
 ) -> list[list[CiphertextBatch]]:
     """Evaluate ONE circuit over B independent input sets in parallel.
 
@@ -417,6 +476,7 @@ def eval_homomorphic_batch(
             raise ValueError(f"batch mismatch across wires: {cb.batch} vs {b}")
     if b is None:
         raise ValueError("circuit has no inputs")
+    _check_netlist_budget(netlist, flat, one, b, budget_bytes)
     ow = one.canonical().wt
     one_b = CiphertextBatch(jnp.broadcast_to(ow[None], (b, *ow.shape)), one.ctx)
 

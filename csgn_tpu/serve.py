@@ -355,10 +355,15 @@ class BatchExecutor:
 
     def _run_net(self, payloads: list[tuple]) -> list[list[list[Ciphertext]]]:
         from csgn_tpu.models.netlist import eval_homomorphic_batch
+        from csgn_tpu.pipeline import HBM_BUDGET_BYTES
 
         netlist = payloads[0][0]  # group key pins one netlist per group
         sk, one, stacked = self._netlist_flush_setup(payloads, 0x6E65, "_net_flushes")
-        out_batches = eval_homomorphic_batch(netlist, stacked, one)
+        # Deep circuits explode materialized growth: reject before the first
+        # superlinear multiply allocates, pointing at submit_netlist_expr.
+        out_batches = eval_homomorphic_batch(
+            netlist, stacked, one, budget_bytes=HBM_BUDGET_BYTES
+        )
         return [
             [[cb[i] for cb in value] for value in out_batches]
             for i in range(len(payloads))

@@ -285,6 +285,35 @@ def test_batched_input_validation(hom):
         eval_homomorphic_batch(nl, [[b1, b1], [b1, b2]], gates.one)
 
 
+def test_materialization_budget_guard(hom):
+    """A deep circuit submitted to the materialized paths must fail FAST
+    with a message pointing at the growth-free routes — not allocate its
+    way to an OOM.  peak_chunks saturates instead of hanging."""
+    from csgn_tpu.models.aes import aes128
+
+    sk, gates, key = hom
+    nl = aes128()
+    assert nl.peak_chunks() == 2**63  # saturated, computed in ~0.1 s
+    one = gates.one
+    enc_in = [[one] * 128, [one] * 128]
+    with pytest.raises(ValueError, match="eval_expr"):
+        eval_homomorphic(nl, enc_in, gates, budget_bytes=14 * 2**30)
+    from csgn_tpu.batch import CiphertextBatch
+    from csgn_tpu.models.netlist import eval_homomorphic_batch
+
+    b1 = CiphertextBatch.stack([one])
+    with pytest.raises(ValueError, match="submit_netlist_expr"):
+        eval_homomorphic_batch(nl, [[b1] * 128, [b1] * 128], one,
+                               budget_bytes=14 * 2**30)
+    # ...and the executor's materialized route rejects it at flush.
+    from csgn_tpu import BatchExecutor
+
+    ex = BatchExecutor(sk, rng=jax.random.key(77))
+    fut = ex.submit_netlist(nl, enc_in)
+    with pytest.raises(ValueError, match="growth-free"):
+        fut.result()
+
+
 def test_fuzz_random_netlists_all_paths_agree(hom):
     """Random small circuits: eval_plain (oracle), materialized, expr,
     batched-materialized, and fleet-expr must all decrypt identically.
