@@ -479,6 +479,12 @@ def main():
         aes_fleet_bps = fb / min(times)
         log(f"aes fleet: B={fb} in {min(times):.2f} s -> {aes_fleet_bps:.1f} "
             f"homomorphic AES-128 blocks/s (FIPS-anchored)")
+    except AssertionError as exc:
+        # WRONG ciphertext — a correctness regression, not an infra hiccup.
+        # -1.0 (never a real rate) so the driver artifact shows the
+        # difference from a skipped row (null).
+        aes_fleet_bps = -1.0
+        log(f"aes fleet CORRECTNESS FAILURE (wrong block): {exc}")
     except Exception as exc:  # noqa: BLE001 — informational row only
         log(f"aes fleet row skipped: {type(exc).__name__}: {exc}")
 
@@ -527,9 +533,10 @@ def main():
                 "serve_batch_ms": round(t_batch * 1e3, 1),
                 "serve_spread_pct": round(serve_spread * 100, 1),
                 # flagship capability: encrypted AES-128 blocks/s (fleet
-                # expr path, B=64, FIPS-anchored; None if the row failed)
+                # expr path, B=64, FIPS-anchored; None = row skipped on an
+                # infra error, -1.0 = WRONG OUTPUT (correctness regression))
                 "aes_fleet_blocks_per_s": (
-                    round(aes_fleet_bps, 1) if aes_fleet_bps else None
+                    round(aes_fleet_bps, 1) if aes_fleet_bps is not None else None
                 ),
             }
         )

@@ -48,15 +48,15 @@ __all__ = [
     "lift",
     "fold_many",
     "collect_leaves",
-    "pack_bits",
-    "unpack_bits",
+    "pack_fleet_bits",
+    "unpack_fleet_bits",
     "CHUNKS_SAT",
     "sat_add",
     "sat_mul",
 ]
 
 
-def pack_bits(bits) -> int:
+def pack_fleet_bits(bits) -> int:
     """Bit vector (uint8[B] / list) -> one Python int, instance i at bit i.
 
     Fleet folds run on packed ints: one native int xor/and per gate instead
@@ -67,8 +67,8 @@ def pack_bits(bits) -> int:
     return int.from_bytes(np.packbits(arr, bitorder="little").tobytes(), "little")
 
 
-def unpack_bits(v: int, b: int) -> np.ndarray:
-    """Inverse of `pack_bits`: the low ``b`` bits as uint8[b]."""
+def unpack_fleet_bits(v: int, b: int) -> np.ndarray:
+    """Inverse of `pack_fleet_bits`: the low ``b`` bits as uint8[b]."""
     nbytes = (b + 7) // 8
     raw = np.frombuffer(v.to_bytes(nbytes, "little"), dtype=np.uint8)
     return np.unpackbits(raw, bitorder="little")[:b]
@@ -191,7 +191,7 @@ class CtExpr:
     def fold(self, leaf_fn) -> int:
         """Evaluate the DAG in F2 with ``leaf_fn(ct) -> int | bit-vector``
         at the leaves (add = xor, mul = and), memoized on node identity.
-        Fleet DAGs return a `pack_bits`-packed int (instance i at bit i);
+        Fleet DAGs return a `pack_fleet_bits`-packed int (instance i at bit i);
         see `fold_many` for the representation contract."""
         return fold_many([self], leaf_fn)[0]
 
@@ -246,7 +246,7 @@ def collect_leaves(exprs: "list[CtExpr]") -> "list[Ciphertext | CiphertextBatch]
     return out
 
 
-def fold_many(exprs: "list[CtExpr]", leaf_fn) -> "list[int | np.ndarray]":
+def fold_many(exprs: "list[CtExpr]", leaf_fn) -> list[int]:
     """Evaluate MANY DAGs with ONE shared memo (add = xor, mul = and).
 
     Multi-output circuits (a netlist's 128 output bits, say) share most of
@@ -258,11 +258,11 @@ def fold_many(exprs: "list[CtExpr]", leaf_fn) -> "list[int | np.ndarray]":
 
     ``leaf_fn`` returns a 0/1 int for a scalar leaf; for a `CiphertextBatch`
     leaf it returns either a bit vector (ndarray/list, one bit per instance)
-    or an already-`pack_bits`-packed int.  Fleet values fold as PACKED ints
-    (instance i at bit i — one native int op per gate; see `pack_bits`), and
+    or an already-`pack_fleet_bits`-packed int.  Fleet values fold as PACKED ints
+    (instance i at bit i — one native int op per gate; see `pack_fleet_bits`), and
     scalar subtrees broadcast exactly: a scalar bit expands to 0 or the
     all-instances mask at the node where the fleet meets it.  Fleet roots
-    return packed ints — `unpack_bits(v, root.batch)` recovers the vector
+    return packed ints — `unpack_fleet_bits(v, root.batch)` recovers the vector
     (`SecretKey.decrypt_circuit(s)` does this for you).
     """
     memo: dict[int, int] = {}
@@ -277,7 +277,7 @@ def fold_many(exprs: "list[CtExpr]", leaf_fn) -> "list[int | np.ndarray]":
                 if k not in leaf_memo:
                     v = leaf_fn(node.ct)
                     if isinstance(v, (np.ndarray, list, tuple)):
-                        v = pack_bits(v)
+                        v = pack_fleet_bits(v)
                     leaf_memo[k] = int(v) if node.batch else int(v) & 1
                 memo[id(node)] = leaf_memo[k]
             else:

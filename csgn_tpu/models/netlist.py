@@ -183,24 +183,7 @@ class Netlist:
         `circuit.CHUNKS_SAT` (2^63) — exact below the cap; see the module
         docstring.
         """
-        if isinstance(input_chunks, int):
-            input_chunks = [input_chunks] * self.n_inputs
-        if len(input_chunks) != self.n_inputs:
-            raise ValueError(
-                f"need {self.n_inputs} input chunk counts, got {len(input_chunks)}"
-            )
-        chunks: dict[int, int] = {i: int(c) for i, c in enumerate(input_chunks)}
-        for g in self.gates:
-            if g.op == "XOR":
-                chunks[g.out] = sat_add(chunks[g.ins[0]], chunks[g.ins[1]])
-            elif g.op == "AND":
-                chunks[g.out] = sat_mul(chunks[g.ins[0]], chunks[g.ins[1]])
-            elif g.op in ("INV", "NOT"):
-                chunks[g.out] = sat_add(chunks[g.ins[0]], one_chunks)
-            elif g.op == "EQW":
-                chunks[g.out] = chunks[g.ins[0]]
-            else:  # EQ
-                chunks[g.out] = one_chunks if g.ins[0] else 2 * one_chunks
+        chunks = self._wire_chunks(input_chunks, one_chunks)
         return [chunks[w] for w in range(self.n_wires - self.n_outputs, self.n_wires)]
 
     def peak_chunks(
@@ -213,6 +196,13 @@ class Netlist:
         superlinear multiply allocates (same discipline as
         pipeline.mul_chain's closed-form check).
         """
+        return max(self._wire_chunks(input_chunks, one_chunks).values(), default=0)
+
+    def _wire_chunks(
+        self, input_chunks: Sequence[int] | int, one_chunks: int
+    ) -> dict[int, int]:
+        """Chunk count of EVERY wire (the one interpreter behind `growth`
+        and `peak_chunks` — the accounting rules live only here)."""
         if isinstance(input_chunks, int):
             input_chunks = [input_chunks] * self.n_inputs
         if len(input_chunks) != self.n_inputs:
@@ -220,7 +210,6 @@ class Netlist:
                 f"need {self.n_inputs} input chunk counts, got {len(input_chunks)}"
             )
         chunks: dict[int, int] = {i: int(c) for i, c in enumerate(input_chunks)}
-        peak = max(chunks.values(), default=0)
         for g in self.gates:
             if g.op == "XOR":
                 chunks[g.out] = sat_add(chunks[g.ins[0]], chunks[g.ins[1]])
@@ -232,9 +221,7 @@ class Netlist:
                 chunks[g.out] = chunks[g.ins[0]]
             else:  # EQ
                 chunks[g.out] = one_chunks if g.ins[0] else 2 * one_chunks
-            if chunks[g.out] > peak:
-                peak = chunks[g.out]
-        return peak
+        return chunks
 
     # -- (de)serialization -------------------------------------------------------
 
@@ -360,7 +347,7 @@ def eval_plain(netlist: Netlist, inputs: Sequence[Sequence[int]]) -> list[list[i
 def eval_plain_packed(
     netlist: Netlist, inputs: Sequence[Sequence[int]], b: int
 ) -> list[list[int]]:
-    """`eval_plain` over B instances at once on `circuit.pack_bits`-packed
+    """`eval_plain` over B instances at once on `circuit.pack_fleet_bits`-packed
     ints (instance i at bit i) — ONE native int op per gate for the whole
     fleet.
 
@@ -369,7 +356,7 @@ def eval_plain_packed(
     a ring homomorphism, reference src/SecretKey.cpp:126-146), so a
     key-holding server (`BatchExecutor.submit_netlist_expr`) can skip
     building the DAG entirely.  Outputs are packed; unpack with
-    `circuit.unpack_bits(v, b)`.
+    `circuit.unpack_fleet_bits(v, b)`.
     """
     mask = (1 << b) - 1
     flat = _flatten_inputs(netlist, inputs)

@@ -304,6 +304,33 @@ class SecretKey:
             return np.asarray(jax.device_get(self.decrypt_batch(ct))).astype(np.uint8)
         return int(self.decrypt(ct))
 
+    def decrypt_batches_packed(self, cbs) -> list[int]:
+        """Decrypt many `CiphertextBatch`es -> `pack_fleet_bits`-packed ints
+        (instance i at bit i), in input order.
+
+        Same-shape batches concatenate into ONE `decrypt_batch` dispatch —
+        the shared leaf-decrypt engine for fleet circuit readouts
+        (`decrypt_circuits`, serve's key-side netlist route)."""
+        from csgn_tpu.batch import CiphertextBatch
+        from csgn_tpu.circuit import pack_fleet_bits
+
+        for cb in cbs:
+            if cb.ctx != self.ctx:
+                raise ValueError("ciphertext context mismatch")
+        groups: dict[tuple, list[int]] = {}
+        for i, cb in enumerate(cbs):
+            groups.setdefault(tuple(cb.wt.shape), []).append(i)
+        packed = [0] * len(cbs)
+        for idxs in groups.values():
+            stacked = CiphertextBatch(
+                jnp.concatenate([cbs[i].wt for i in idxs], axis=0), self.ctx
+            )
+            vals = np.asarray(jax.device_get(self.decrypt_batch(stacked)))
+            b = cbs[idxs[0]].batch
+            for gi, i in enumerate(idxs):
+                packed[i] = pack_fleet_bits(vals[gi * b : (gi + 1) * b])
+        return packed
+
     def decrypt_circuit(self, expr) -> "Plaintext | np.ndarray":
         """Decrypt a +/* DAG of ciphertexts WITHOUT materializing it.
 
@@ -318,12 +345,12 @@ class SecretKey:
         (one packed-int op per gate; scalar subtrees broadcast) and return
         uint8[B] instead of a Plaintext.
         """
-        from csgn_tpu.circuit import lift, unpack_bits
+        from csgn_tpu.circuit import lift, unpack_fleet_bits
 
         e = lift(expr)
         bit = e.fold(self._leaf_bits)
         if e.batch is not None:
-            return unpack_bits(bit, e.batch)
+            return unpack_fleet_bits(bit, e.batch)
         return Plaintext(bit)
 
     def decrypt_circuits(self, exprs) -> "list[Plaintext | np.ndarray]":
@@ -343,13 +370,7 @@ class SecretKey:
         uint8[B] arrays (one bit per instance) instead of Plaintexts.
         """
         from csgn_tpu.batch import CiphertextBatch
-        from csgn_tpu.circuit import (
-            collect_leaves,
-            fold_many,
-            lift,
-            pack_bits,
-            unpack_bits,
-        )
+        from csgn_tpu.circuit import collect_leaves, fold_many, lift, unpack_fleet_bits
 
         exprs = [lift(e) for e in exprs]
         leaves = collect_leaves(exprs)
@@ -358,7 +379,7 @@ class SecretKey:
                 raise ValueError("ciphertext context mismatch")
         scalars = [ct for ct in leaves if isinstance(ct, Ciphertext)]
         fleets = [ct for ct in leaves if isinstance(ct, CiphertextBatch)]
-        bits: dict[int, int | np.ndarray] = {}
+        bits: dict[int, int] = {}
         groups: dict[tuple, list[Ciphertext]] = {}
         for ct in scalars:
             groups.setdefault(tuple(ct.wt.shape), []).append(ct)
@@ -367,22 +388,13 @@ class SecretKey:
             vals = jax.device_get(self.decrypt_batch(batch))
             for c, v in zip(cts, vals):
                 bits[id(c)] = int(v)
-        fgroups: dict[tuple, list[CiphertextBatch]] = {}
-        for cb in fleets:
-            fgroups.setdefault(tuple(cb.wt.shape), []).append(cb)
-        for cbs in fgroups.values():
-            stacked = CiphertextBatch(
-                jnp.concatenate([cb.wt for cb in cbs], axis=0), self.ctx
-            )
-            vals = np.asarray(jax.device_get(self.decrypt_batch(stacked)))
-            b = cbs[0].batch
-            for i, cb in enumerate(cbs):
-                bits[id(cb)] = pack_bits(vals[i * b : (i + 1) * b])
+        for cb, packed in zip(fleets, self.decrypt_batches_packed(fleets)):
+            bits[id(cb)] = packed
         # One shared-memo walk over the union DAG: multi-output circuits
         # share interior nodes, so per-expr fold would cost outputs × gates.
         vals = fold_many(exprs, lambda ct: bits[id(ct)])
         return [
-            unpack_bits(v, e.batch) if e.batch is not None else Plaintext(v)
+            unpack_fleet_bits(v, e.batch) if e.batch is not None else Plaintext(v)
             for e, v in zip(exprs, vals)
         ]
 

@@ -107,6 +107,10 @@ class BatchExecutor:
         given (rng, submission order).
       max_batch: a group reaching this many requests flushes immediately
         (bounds peak HBM for the stacked batch); None = unbounded.
+      netlist_budget_bytes: materialization budget enforced by the
+        `submit_netlist` route (default: the HBM budget mul_chain uses);
+        pass None to disable, or a larger value on bigger-memory parts.
+        `submit_netlist_expr` never materializes and ignores this.
     """
 
     def __init__(
@@ -115,10 +119,16 @@ class BatchExecutor:
         *,
         rng: jax.Array | None = None,
         max_batch: int | None = 4096,
+        netlist_budget_bytes: "int | None" = ...,  # ... = mul_chain's HBM budget
     ):
+        if netlist_budget_bytes is ...:
+            from csgn_tpu.pipeline import HBM_BUDGET_BYTES
+
+            netlist_budget_bytes = HBM_BUDGET_BYTES
         self._key = key
         self._rng = rng if rng is not None else jax.random.key(0)
         self._max_batch = max_batch
+        self._netlist_budget = netlist_budget_bytes
         self._groups: dict[tuple, list[tuple]] = {}
         self._enc_flushes = 0  # dedicated counter: encrypt randomness depends
         # only on how many encrypt groups ran, never on unrelated op groups.
@@ -343,26 +353,30 @@ class BatchExecutor:
             jax.random.fold_in(self._rng, tag), getattr(self, counter)
         )
         setattr(self, counter, getattr(self, counter) + 1)
-        one = sk.encrypt(1, one_rng)
-        stacked = [
+        return sk, sk.encrypt(1, one_rng), self._stack_wires(payloads)
+
+    @staticmethod
+    def _stack_wires(payloads: list[tuple]) -> list[list[CiphertextBatch]]:
+        """Stack each input wire across the group's requests (both netlist
+        runners share this shape)."""
+        return [
             [
                 _stack([p[1][v][j] for p in payloads])
                 for j in range(len(payloads[0][1][v]))
             ]
             for v in range(len(payloads[0][1]))
         ]
-        return sk, one, stacked
 
     def _run_net(self, payloads: list[tuple]) -> list[list[list[Ciphertext]]]:
         from csgn_tpu.models.netlist import eval_homomorphic_batch
-        from csgn_tpu.pipeline import HBM_BUDGET_BYTES
 
         netlist = payloads[0][0]  # group key pins one netlist per group
         sk, one, stacked = self._netlist_flush_setup(payloads, 0x6E65, "_net_flushes")
         # Deep circuits explode materialized growth: reject before the first
         # superlinear multiply allocates, pointing at submit_netlist_expr.
+        # Knob: BatchExecutor(netlist_budget_bytes=...).
         out_batches = eval_homomorphic_batch(
-            netlist, stacked, one, budget_bytes=HBM_BUDGET_BYTES
+            netlist, stacked, one, budget_bytes=self._netlist_budget
         )
         return [
             [[cb[i] for cb in value] for value in out_batches]
@@ -378,37 +392,22 @@ class BatchExecutor:
         once on packed bit-masks (`eval_plain_packed`, one int op per gate
         for the whole group).  Bit-exact to the eval_expr + decrypt_circuits
         path (tests/test_serve.py)."""
-        from csgn_tpu.circuit import pack_bits, unpack_bits
+        from csgn_tpu.circuit import unpack_fleet_bits
         from csgn_tpu.models.netlist import eval_plain_packed
 
         sk = self._need_key("netlist_expr")
         netlist = payloads[0][0]  # group key pins one netlist per group
         b = len(payloads)
         # Stack each input wire across the group's requests, then decrypt
-        # all wires of the same chunk shape in ONE batched dispatch.
-        stacked = [
-            [
-                _stack([p[1][v][j] for p in payloads])
-                for j in range(len(payloads[0][1][v]))
-            ]
-            for v in range(len(payloads[0][1]))
-        ]
-        flat = [cb for value in stacked for cb in value]
-        groups: dict[tuple, list[int]] = {}
-        for i, cb in enumerate(flat):
-            groups.setdefault(tuple(cb.wt.shape), []).append(i)
-        packed = [0] * len(flat)
-        for idxs in groups.values():
-            wt = jnp.concatenate([flat[i].wt for i in idxs], axis=0)
-            vals = np.asarray(
-                jax.device_get(sk.decrypt_batch(CiphertextBatch(wt, sk.ctx)))
-            )
-            for gi, i in enumerate(idxs):
-                packed[i] = pack_bits(vals[gi * b : (gi + 1) * b])
+        # all same-shape wires in one batched dispatch each.
+        stacked = self._stack_wires(payloads)
+        packed = sk.decrypt_batches_packed(
+            [cb for value in stacked for cb in value]
+        )
         it = iter(packed)
         packed_inputs = [[next(it) for _ in value] for value in stacked]
         outs = eval_plain_packed(netlist, packed_inputs, b)
-        out_vecs = [[unpack_bits(v, b) for v in value] for value in outs]
+        out_vecs = [[unpack_fleet_bits(v, b) for v in value] for value in outs]
         return [
             [[int(vec[i]) for vec in value] for value in out_vecs]
             for i in range(b)

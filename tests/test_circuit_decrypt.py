@@ -107,19 +107,19 @@ def test_batch_leaf_permutation_pushdown(setup, small_ctx, rng):
     assert psk.decrypt_circuit(pe).tolist() == sk.decrypt_circuit(e).tolist()
 
 
-def test_pack_unpack_bits_roundtrip():
+def test_pack_unpack_fleet_bits_roundtrip():
     import numpy as np
 
-    from csgn_tpu.circuit import pack_bits, unpack_bits
+    from csgn_tpu.circuit import pack_fleet_bits, unpack_fleet_bits
 
     rng = np.random.default_rng(5)
     for b in (1, 7, 8, 64, 65, 200):
         bits = rng.integers(0, 2, b).astype(np.uint8)
-        v = pack_bits(bits)
+        v = pack_fleet_bits(bits)
         assert v == sum(int(x) << i for i, x in enumerate(bits))
-        assert np.array_equal(unpack_bits(v, b), bits), b
-    assert pack_bits([1, 0, 1]) == 0b101
-    assert unpack_bits(0, 3).tolist() == [0, 0, 0]
+        assert np.array_equal(unpack_fleet_bits(v, b), bits), b
+    assert pack_fleet_bits([1, 0, 1]) == 0b101
+    assert unpack_fleet_bits(0, 3).tolist() == [0, 0, 0]
 
 
 def test_fleet_fold_large_batch(setup):
