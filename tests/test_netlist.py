@@ -312,6 +312,14 @@ def test_materialization_budget_guard(hom):
     fut = ex.submit_netlist(nl, enc_in)
     with pytest.raises(ValueError, match="growth-free"):
         fut.result()
+    # ...and the knob the error message points at is reachable from the
+    # executor API (None disables the guard for a SHALLOW circuit here —
+    # never actually evaluate AES materialized).
+    ex2 = BatchExecutor(sk, rng=jax.random.key(78), netlist_budget_bytes=None)
+    shallow = equality(2)
+    (out,) = ex2.submit_netlist(shallow, [[gates.one, gates.one],
+                                          [gates.one, gates.one]]).result()
+    assert int(sk.decrypt(out[0])) == 1
 
 
 def test_fuzz_random_netlists_all_paths_agree(hom):
@@ -356,6 +364,13 @@ def test_fuzz_random_netlists_all_paths_agree(hom):
             for i, bits in enumerate(insts)
         ]
         plain = [eval_plain(nl, [bits])[0] for bits in insts]
+        # packed evaluation (the serving route's engine) matches per instance
+        from csgn_tpu.models.netlist import eval_plain_packed
+
+        packed_in = [[sum(insts[i][j] << i for i in range(B)) for j in range(n_in)]]
+        (packed_out,) = eval_plain_packed(nl, packed_in, B)
+        for i in range(B):
+            assert [(v >> i) & 1 for v in packed_out] == plain[i], (trial, i)
         # materialized + expr, per instance
         for i in range(B):
             (mat,) = eval_homomorphic(nl, [enc[i]], gates)
